@@ -1,0 +1,207 @@
+"""Main-content extraction over a single HTML page — pure function, no Spark.
+
+This is the semantic twin of the reference's pipeline collapsed into one
+deterministic pass (its STEP 1 classify → STEP 2 OCR parse → strikethrough
+clean → white-out → recombine, per ``/root/reference/python_files/main.py:2-28``):
+
+* DOM parse → typed blocks with char spans  — OCR block extraction analogue
+  (``python_files/textract_agent.py:43-98``)
+* table/figure region detection             — page classifier analogue
+  (``python_files/table_detector_agent.py:64-118``), but deterministic DOM
+  heuristics instead of an LLM, so goldens are byte-identical
+* struck-text removal with recorded spans   — strikethrough detector analogue
+  (``python_files/strikethrough_agent.py:145-210``); removed spans play the
+  role of the 119-entry ``bounding_boxes.json`` removal list
+* boilerplate classification (text/link-density geometric gates) — the same
+  *gate* pattern as the CV detector's line-geometry thresholds
+  (``python_files/strikethrough_agent.py:100-127``: span ≥40% width, ≤25%
+  height, density ≥0.35 → struck), re-expressed as Boilerpipe-style
+  link-density / word-count thresholds
+* span excision → extracted text            — white-out analogue
+  (``python_files/white_out_manager.py:27-34``); like a white-out bbox, an
+  excised span absorbs one adjoining separator so the result reads clean
+
+Span bookkeeping follows SURVEY.md §7: spans are computed against the *raw*
+visible text and the extracted text is derived from spans — one source of
+truth, never mutate-then-measure.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ocr_machine_spark.core.htmlparse import block_type_of, parse_html, render
+
+# Classification gates (deterministic constants — the graft's DPI-ladder-style
+# fidelity knobs live here, cf. BASELINE.md "Render DPI ladder").
+MAX_LINK_DENSITY = 0.35
+MIN_CONTENT_WORDS = 5
+
+KIND_CONTENT = "content"
+KIND_TABLE = "table"
+KIND_FIGURE_CAPTION = "figure_caption"
+
+REASON_STRUCK = "struck"
+REASON_BOILERPLATE = "boilerplate"
+REASON_LINK_FARM = "link_farm"
+REASON_SHORT = "short"
+
+
+@dataclass
+class ExtractResult:
+    ok: bool
+    extracted_text: str = ""
+    # kept spans into raw text: (start, end, kind)
+    spans: list[tuple[int, int, str]] = field(default_factory=list)
+    # removed spans: (start, end, reason)
+    removed_spans: list[tuple[int, int, str]] = field(default_factory=list)
+    raw_text: str = ""
+    blocks: list[dict] = field(default_factory=list)
+    has_table: bool = False
+    has_figure: bool = False
+    n_blocks: int = 0
+    n_content_blocks: int = 0
+    chars_in: int = 0
+    chars_out: int = 0
+    error: str | None = None
+
+
+def _expand_span(raw: str, start: int, end: int) -> tuple[int, int]:
+    """Widen an excision span to absorb one adjoining separator char, so that
+    removing it never leaves a doubled space (white-out margin analogue)."""
+    if start > 0 and raw[start - 1] == " " and (end >= len(raw) or raw[end] in " \n"):
+        return start - 1, end
+    if end < len(raw) and raw[end] == " ":
+        return start, end + 1
+    return start, end
+
+
+def _excise(text: str, base: int, spans: list[tuple[int, int]]) -> str:
+    """Remove [start,end) sub-spans (absolute coords, ``base`` = block start)."""
+    if not spans:
+        return text
+    out = []
+    pos = 0
+    for s, e in spans:
+        s, e = s - base, e - base
+        s = max(s, pos)
+        if s > pos:
+            out.append(text[pos:s])
+        pos = max(pos, e)
+    out.append(text[pos:])
+    return "".join(out)
+
+
+def extract_one(html: bytes | str | None, want_blocks: bool = False) -> ExtractResult:
+    """Extract main content from one page's HTML bytes.
+
+    Never raises: malformed input yields ``ok=False`` with the error recorded,
+    mirroring the reference's per-page try/except
+    (``python_files/table_detector_agent.py:193-206``).
+    """
+    try:
+        if html is None:
+            raise ValueError("html is null")
+        if isinstance(html, (bytes, bytearray)):
+            if len(html) == 0:
+                raise ValueError("html is empty")
+            text_html = bytes(html).decode("utf-8", errors="replace")
+        else:
+            if not html:
+                raise ValueError("html is empty")
+            text_html = html
+        root = parse_html(text_html)
+        raw, blocks = render(root)
+    except Exception as exc:  # noqa: BLE001 — survive any malformed page
+        return ExtractResult(ok=False, error=f"{type(exc).__name__}: {exc}")
+
+    kept_parts: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+    removed: list[tuple[int, int, str]] = []
+    has_table = False
+    has_figure = False
+    block_rows: list[dict] = []
+
+    for b in blocks:
+        btext = b.text_of(raw)
+        n_words = len(btext.split())
+
+        # -- gate ladder -------------------------------------------------
+        kind: str | None = None
+        reason: str | None = None
+        if b.boiler:
+            reason = REASON_BOILERPLATE
+        elif b.in_table:
+            kind = KIND_TABLE
+            has_table = True
+        elif b.is_caption:
+            kind = KIND_FIGURE_CAPTION
+            has_figure = True
+        elif b.link_density > MAX_LINK_DENSITY:
+            reason = REASON_LINK_FARM
+        elif n_words < MIN_CONTENT_WORDS and not b.is_heading:
+            reason = REASON_SHORT
+        else:
+            kind = KIND_CONTENT
+
+        # fully-struck block → removed outright
+        struck = [(max(s, b.start), min(e, b.end)) for s, e in b.struck_spans]
+        fully_struck = bool(struck) and struck[0][0] <= b.start and struck[-1][1] >= b.end and len(struck) == 1
+
+        if want_blocks:
+            # lines ≈ 80-char wrap — Boilerpipe's text-density denominator
+            n_lines = max(1, (b.n_chars + 79) // 80)
+            block_rows.append(
+                {
+                    "block_type": block_type_of(b),
+                    "tag": b.tag,
+                    "depth": b.depth,
+                    "start": b.start,
+                    "end": b.end,
+                    "text": btext,
+                    "n_chars": b.n_chars,
+                    "n_words": n_words,
+                    "link_density": round(b.link_density, 6),
+                    "text_density": round(n_words / n_lines, 6),
+                    "is_content": kind is not None and not fully_struck,
+                    "kind": kind,
+                    "reason": reason,
+                }
+            )
+
+        if reason is not None:
+            removed.append((b.start, b.end, reason))
+            continue
+        if fully_struck:
+            removed.append((b.start, b.end, REASON_STRUCK))
+            continue
+
+        # partially-struck: excise struck sub-spans, record them
+        expanded = []
+        for s, e in struck:
+            es, ee = _expand_span(raw, s, e)
+            es, ee = max(es, b.start), min(ee, b.end)
+            expanded.append((es, ee))
+            removed.append((es, ee, REASON_STRUCK))
+        cleaned = _excise(btext, b.start, expanded)
+        if not cleaned.strip():
+            continue
+        kept_parts.append(cleaned)
+        spans.append((b.start, b.end, kind))
+
+    removed.sort(key=lambda t: (t[0], t[1]))
+    extracted = "\n".join(kept_parts)
+    return ExtractResult(
+        ok=True,
+        extracted_text=extracted,
+        spans=spans,
+        removed_spans=removed,
+        raw_text=raw,
+        blocks=block_rows,
+        has_table=has_table,
+        has_figure=has_figure,
+        n_blocks=len(blocks),
+        n_content_blocks=len(spans),
+        chars_in=len(raw),
+        chars_out=len(extracted),
+    )

@@ -1,0 +1,375 @@
+"""Deterministic HTML → DOM → (visible text, typed blocks) for the extraction core.
+
+Pure stdlib (``html.parser``) — this container ships no lxml/bs4. The tree
+builder is tolerant of malformed markup (unclosed tags, stray end tags),
+mirroring how the reference tolerates imperfect OCR input (its per-page
+try/except at ``python_files/table_detector_agent.py:193-206``).
+
+The renderer is the analogue of the reference's OCR block extraction
+(``python_files/textract_agent.py:43-98``): it linearises the document into a
+single *raw visible text* string plus a flat list of typed blocks with
+character spans — the web equivalent of Textract's WORD/LINE/LAYOUT_* blocks
+with normalized bounding boxes (see the 474-block golden fixture
+``python_files/outputs/full_response_output.json``). Character spans play the
+role bounding boxes play in the reference.
+
+Determinism contract (SURVEY.md §7 "hard parts"): no wall-clock, no
+dict-iteration-order leaks, one fixed whitespace policy —
+* whitespace runs inside a text node collapse to a single space;
+* block-element boundaries emit exactly one ``\\n`` (never two in a row);
+* entities are decoded (``convert_charrefs=True``).
+Given the same bytes, ``render`` returns byte-identical output on every run
+and under every partitioning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Elements whose entire subtree is invisible.
+SKIP_TAGS = frozenset(
+    {
+        "script",
+        "style",
+        "noscript",
+        "template",
+        "head",
+        "title",
+        "svg",
+        "iframe",
+        "object",
+        "canvas",
+        "datalist",
+    }
+)
+
+# Elements that do not take an end tag.
+VOID_TAGS = frozenset(
+    {
+        "area",
+        "base",
+        "br",
+        "col",
+        "embed",
+        "hr",
+        "img",
+        "input",
+        "link",
+        "meta",
+        "param",
+        "source",
+        "track",
+        "wbr",
+    }
+)
+
+# Elements that establish a block boundary in the rendered text.
+BLOCK_TAGS = frozenset(
+    {
+        "address",
+        "article",
+        "aside",
+        "blockquote",
+        "body",
+        "caption",
+        "dd",
+        "div",
+        "dl",
+        "dt",
+        "fieldset",
+        "figcaption",
+        "figure",
+        "footer",
+        "form",
+        "h1",
+        "h2",
+        "h3",
+        "h4",
+        "h5",
+        "h6",
+        "header",
+        "hr",
+        "html",
+        "li",
+        "main",
+        "nav",
+        "ol",
+        "p",
+        "pre",
+        "section",
+        "table",
+        "tbody",
+        "td",
+        "tfoot",
+        "th",
+        "thead",
+        "tr",
+        "ul",
+    }
+)
+
+# Struck-through content — the direct HTML analogue of the reference's
+# strikethrough words (python_files/strikethrough_agent.py:9-142): visible on
+# the page, legally deleted, to be removed from the extraction.
+STRUCK_TAGS = frozenset({"del", "s", "strike"})
+
+# Ancestors that mark a subtree as boilerplate by construction.
+BOILER_TAGS = frozenset({"nav", "header", "footer", "aside"})
+
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+TABLE_TAGS = frozenset({"table", "thead", "tbody", "tfoot", "tr", "td", "th", "caption"})
+
+# Tags that auto-close an open element of the given kind (HTML5 implied ends).
+_P_CLOSERS = BLOCK_TAGS - {"html", "body"}
+
+
+class Element:
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict[str, str]):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[Element | str] = []
+
+
+class _TreeBuilder(HTMLParser):
+    """Tolerant stack-based tree builder (text children are plain ``str``)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Element("#root", {})
+        self.stack: list[Element] = [self.root]
+
+    # -- implied-end handling ------------------------------------------------
+    def _implied_close(self, tag: str) -> None:
+        if tag == "body":
+            # <body> implies the head is over, even without </head>
+            for i in range(len(self.stack) - 1, 0, -1):
+                if self.stack[i].tag == "head":
+                    del self.stack[i:]
+                    break
+        top = self.stack[-1].tag
+        if top == "p" and tag in _P_CLOSERS:
+            self.stack.pop()
+        elif top == "li" and tag == "li":
+            self.stack.pop()
+        elif top in ("dd", "dt") and tag in ("dd", "dt"):
+            self.stack.pop()
+        elif top in ("td", "th") and tag in ("td", "th", "tr"):
+            self.stack.pop()
+            if self.stack[-1].tag == "tr" and tag == "tr":
+                self.stack.pop()
+        elif top == "tr" and tag == "tr":
+            self.stack.pop()
+
+    # -- parser callbacks ----------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if len(self.stack) > 1:
+            self._implied_close(tag)
+        el = Element(tag, dict(attrs))
+        self.stack[-1].children.append(el)
+        if tag not in VOID_TAGS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.stack[-1].children.append(Element(tag, dict(attrs)))
+
+    def handle_endtag(self, tag: str) -> None:
+        # Pop to the matching open tag; ignore stray end tags.
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(html: str) -> Element:
+    """Parse HTML into a tolerant DOM tree rooted at a ``#root`` element."""
+    tb = _TreeBuilder()
+    tb.feed(html)
+    tb.close()
+    return tb.root
+
+
+# ---------------------------------------------------------------------------
+# Rendering: DOM → (raw visible text, typed blocks with char spans)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Block:
+    """One rendered text block — the web analogue of a Textract LAYOUT_*/LINE
+    block (block taxonomy observed in the reference golden fixture:
+    PAGE/LAYOUT_TEXT/LAYOUT_TABLE/LAYOUT_LIST/LAYOUT_FOOTER/TABLE/CELL/...)."""
+
+    tag: str
+    depth: int
+    start: int = -1  # char span in the raw visible text (start == -1: no text yet)
+    end: int = -1
+    n_chars: int = 0
+    link_chars: int = 0  # chars inside <a> descendants → link_density
+    struck_spans: list[tuple[int, int]] = field(default_factory=list)
+    boiler: bool = False  # nav/header/footer/aside ancestor
+    in_table: bool = False
+    is_caption: bool = False  # figcaption
+    is_heading: bool = False
+    is_list_item: bool = False
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.n_chars if self.n_chars else 0.0
+
+    def text_of(self, raw: str) -> str:
+        return raw[self.start : self.end] if self.start >= 0 else ""
+
+
+# Block-type labelling, mirroring the reference's block taxonomy.
+def block_type_of(b: Block) -> str:
+    if b.boiler:
+        return "LAYOUT_FOOTER" if b.tag in ("footer",) else "LAYOUT_HEADER"
+    if b.tag == "caption":
+        return "TABLE_TITLE"
+    if b.tag in ("td", "th"):
+        return "CELL"
+    if b.in_table:
+        return "LAYOUT_TABLE"
+    if b.is_caption:
+        return "LAYOUT_FIGURE"
+    if b.is_heading:
+        return "LAYOUT_SECTION_HEADER"
+    if b.is_list_item:
+        return "LAYOUT_LIST"
+    return "LAYOUT_TEXT"
+
+
+class _Renderer:
+    def __init__(self) -> None:
+        self.parts: list[str] = []
+        self.length = 0
+        self.blocks: list[Block] = []
+        self._open: list[Block] = []
+        self._pending_newline = False
+        self._pending_space = False
+        # contextual flags carried down the walk
+        self._link_depth = 0
+        self._struck_depth = 0
+        self._boiler_depth = 0
+        self._table_depth = 0
+        self._caption_depth = 0
+
+    # -- emit helpers --------------------------------------------------------
+    def _append(self, s: str) -> None:
+        self.parts.append(s)
+        self.length += len(s)
+
+    def _sep(self) -> None:
+        if self._pending_newline:
+            if self.length > 0:
+                self._append("\n")
+            self._pending_newline = False
+            self._pending_space = False
+        elif self._pending_space:
+            if self.length > 0:
+                self._append(" ")
+            self._pending_space = False
+
+    def _text(self, raw: str) -> None:
+        if not raw:
+            return
+        collapsed = " ".join(raw.split())
+        if raw[0].isspace():
+            self._pending_space = True
+        if not collapsed:
+            return
+        self._sep()
+        start = self.length
+        self._append(collapsed)
+        end = self.length
+        if raw[-1].isspace():
+            self._pending_space = True
+        if self._open:
+            b = self._open[-1]
+            if b.start < 0:
+                b.start = start
+            b.end = end
+            b.n_chars += end - start
+            if self._link_depth > 0:
+                b.link_chars += end - start
+            if self._struck_depth > 0:
+                if b.struck_spans and b.struck_spans[-1][1] >= start - 1:
+                    # merge with preceding struck run (and the space between)
+                    b.struck_spans[-1] = (b.struck_spans[-1][0], end)
+                else:
+                    b.struck_spans.append((start, end))
+
+    # -- walk -----------------------------------------------------------------
+    def walk(self, el: Element, depth: int = 0) -> None:
+        for child in el.children:
+            if isinstance(child, str):
+                self._text(child)
+                continue
+            tag = child.tag
+            if tag in SKIP_TAGS:
+                continue
+            if tag == "br":
+                self._pending_newline = True
+                continue
+            is_block = tag in BLOCK_TAGS
+            blk: Block | None = None
+            if is_block:
+                self._pending_newline = True
+                blk = Block(
+                    tag=tag,
+                    depth=depth,
+                    boiler=self._boiler_depth > 0 or tag in BOILER_TAGS,
+                    in_table=self._table_depth > 0 or tag in TABLE_TAGS,
+                    is_caption=self._caption_depth > 0 or tag == "figcaption",
+                    is_heading=tag in HEADING_TAGS,
+                    is_list_item=tag == "li",
+                )
+                self.blocks.append(blk)
+                self._open.append(blk)
+            if tag == "a":
+                self._link_depth += 1
+            if tag in STRUCK_TAGS:
+                self._struck_depth += 1
+            if tag in BOILER_TAGS:
+                self._boiler_depth += 1
+            if tag in TABLE_TAGS:
+                self._table_depth += 1
+            if tag == "figcaption":
+                self._caption_depth += 1
+
+            self.walk(child, depth + 1)
+
+            if tag == "a":
+                self._link_depth -= 1
+            if tag in STRUCK_TAGS:
+                self._struck_depth -= 1
+            if tag in BOILER_TAGS:
+                self._boiler_depth -= 1
+            if tag in TABLE_TAGS:
+                self._table_depth -= 1
+            if tag == "figcaption":
+                self._caption_depth -= 1
+            if is_block:
+                self._open.pop()
+                self._pending_newline = True
+
+
+def render(root: Element) -> tuple[str, list[Block]]:
+    """Linearise a DOM tree into (raw visible text, blocks-with-text).
+
+    Blocks that collected no text are dropped (the reference likewise keeps
+    only blocks that carry Text — WORD/LINE filtering at
+    ``training_strikethrough/processing_scripts/training_textract.py:72-78``).
+    """
+    r = _Renderer()
+    r.walk(root)
+    raw = "".join(r.parts)
+    blocks = [b for b in r.blocks if b.start >= 0 and b.n_chars > 0]
+    return raw, blocks

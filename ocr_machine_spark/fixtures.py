@@ -1,0 +1,214 @@
+"""Deterministic synthetic Common-Crawl-style page factory with goldens.
+
+The analogue of the reference's training-set factory
+(``training_strikethrough/processing_scripts/fake_scan.py``): generate inputs
+whose ground truth is known **by construction** (its README lesson at
+``training_strikethrough/README.md:4-11``), so the extractor can be verified
+byte-identically against committed expectations — the role
+``python_files/outputs/{full_response_output,bounding_boxes}.json`` play for
+the reference.
+
+Everything is keyed off ``random.Random(f"{seed}:{i}")`` (version-2 string
+seeding, PYTHONHASHSEED-independent), so any row can be generated in isolation
+on any executor — no sequential RNG state, which is what lets the same
+generator scale out via ``spark.range(n).mapInPandas`` for the bench harness.
+
+Golden computation never calls the extractor: the generator composes the page
+from parts it already classified, and derives expected raw text / extracted
+text / spans from its own layout arithmetic. Tests then assert the two
+independent paths agree.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+
+EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z — fixed, no wall clock
+
+WORDS = (
+    "municipal code section ordinance zoning council residential commercial "
+    "district permit structure dwelling setback height boundary parcel lot "
+    "easement variance hearing notice appeal schedule amendment adopted "
+    "effective chapter article division standard requirement compliance "
+    "inspection utility drainage frontage occupancy density buffer landscape"
+).split()
+
+NAV_WORDS = "home about news contact archive sitemap search login categories tags".split()
+
+# a few mega-hosts own half the corpus → exercises salting (SURVEY.md §7 step 4)
+MEGA_HOSTS = ["big0.example.com", "big1.example.com", "big2.example.com"]
+N_SMALL_HOSTS = 1000
+
+LANGS = ["en", "en", "en", "en", "en", "en", "en", "de", "fr", "es"]
+
+
+def _sentence(rng: random.Random, lo: int = 8, hi: int = 18) -> str:
+    n = rng.randint(lo, hi)
+    ws = [rng.choice(WORDS) for _ in range(n)]
+    return (" ".join(ws)).capitalize() + "."
+
+
+def _nav_html(rng: random.Random) -> tuple[str, str]:
+    """→ (html, visible_text). Link-heavy, short — lands on the boilerplate
+    side of every gate."""
+    items = rng.sample(NAV_WORDS, 5)
+    lis = "".join(f'<li><a href="/{w}">{w}</a></li>' for w in items)
+    return f"<nav><ul>{lis}</ul></nav>", items
+
+
+@dataclass
+class GoldenPage:
+    url: str
+    warc_ts: int  # epoch seconds
+    html: bytes
+    text: str  # raw visible text (renderer policy)
+    lang: str
+    extracted_text: str
+    spans: list[tuple[int, int, str]]
+    removed_spans: list[tuple[int, int, str]]
+    has_table: bool
+    has_figure: bool
+
+
+def make_page(i: int, seed: int = 42) -> GoldenPage:
+    """Deterministically build page ``i`` plus its golden expectations."""
+    rng = random.Random(f"{seed}:{i}")
+
+    if rng.random() < 0.5:
+        host = rng.choice(MEGA_HOSTS)
+    else:
+        host = f"site{rng.randrange(N_SMALL_HOSTS)}.example.org"
+    url = f"https://{host}/page/{i}"
+    warc_ts = EPOCH_2024 + (i % 31536000)
+    lang = rng.choice(LANGS)
+
+    boiler_only = rng.random() < 0.03  # fixture case 5
+    with_table = (not boiler_only) and rng.random() < 0.10
+    with_figure = (not boiler_only) and rng.random() < 0.05
+    with_struck = (not boiler_only) and rng.random() < 0.15
+    n_paras = 0 if boiler_only else rng.randint(2, 6)
+
+    # ---- compose the page; track (visible_text_lines, kept_kind, reason) ----
+    html_parts: list[str] = ["<html><head><title>skip me</title>", "<body>"]
+    # lines: (text, kind|None, reason|None, struck_rel) where struck_rel is a
+    # list of (rel_start, rel_end) struck sub-spans within the line
+    lines: list[tuple[str, str | None, str | None, list[tuple[int, int]]]] = []
+
+    nav_html, nav_items = _nav_html(rng)
+    html_parts.append("<header><h1>Site Title Words</h1></header>")
+    lines.append(("Site Title Words", None, "boilerplate", []))
+    html_parts.append(nav_html)
+    for w in nav_items:
+        lines.append((w, None, "boilerplate", []))
+
+    html_parts.append("<main>")
+    heading = _sentence(rng, 3, 6).rstrip(".")
+    html_parts.append(f"<h2>{heading}</h2>")
+    if not boiler_only:
+        lines.append((heading, "content", None, []))
+    else:
+        # heading kept even on boiler-only pages (headings pass the gate) —
+        # make boiler-only pages truly empty by skipping the heading
+        html_parts.pop()
+
+    struck_para = rng.randrange(n_paras) if (with_struck and n_paras) else -1
+    for p in range(n_paras):
+        sents = [_sentence(rng) for _ in range(rng.randint(2, 4))]
+        if p == struck_para:
+            # struck fragment mid-paragraph (strikethrough analogue)
+            struck = _sentence(rng, 4, 8)
+            pre = " ".join(sents[:1])
+            post = " ".join(sents[1:]) or _sentence(rng)
+            html_parts.append(f"<p>{pre} <del>{struck}</del> {post}</p>")
+            full = f"{pre} {struck} {post}"
+            s = len(pre) + 1
+            e = s + len(struck)
+            lines.append((full, "content", None, [(s, e)]))
+        else:
+            para = " ".join(sents)
+            html_parts.append(f"<p>{para}</p>")
+            lines.append((para, "content", None, []))
+
+    if with_table:
+        hdr = ["Zone", "Setback", "Height"]
+        rows = [[f"R{rng.randint(1, 9)}", f"{rng.randint(5, 50)} ft", f"{rng.randint(20, 60)} ft"] for _ in range(2)]
+        cells_html = "".join(f"<th>{h}</th>" for h in hdr)
+        body_html = "".join("<tr>" + "".join(f"<td>{c}</td>" for c in r) + "</tr>" for r in rows)
+        html_parts.append(f"<table><tr>{cells_html}</tr>{body_html}</table>")
+        for h in hdr:
+            lines.append((h, "table", None, []))
+        for r in rows:
+            for c in r:
+                lines.append((c, "table", None, []))
+
+    if with_figure:
+        cap = _sentence(rng, 5, 9)
+        html_parts.append(f'<figure><img src="/d.png"/><figcaption>{cap}</figcaption></figure>')
+        lines.append((cap, "figure_caption", None, []))
+
+    # a short junk line (fails the word-count gate) on some pages
+    if not boiler_only and rng.random() < 0.3:
+        junk = " ".join(rng.choice(WORDS) for _ in range(3))
+        html_parts.append(f"<div>{junk}</div>")
+        lines.append((junk, None, "short", []))
+
+    # link-farm sidebar (fails the link-density gate)
+    farm_links = [rng.choice(WORDS) for _ in range(6)]
+    farm_html = " ".join(f'<a href="/{w}">{w}</a>' for w in farm_links)
+    html_parts.append(f"<div>related topics {farm_html}</div>")
+    lines.append(("related topics " + " ".join(farm_links), None, "link_farm", []))
+    html_parts.append("</main>")
+
+    html_parts.append("<footer><p>copyright example press all rights reserved</p></footer>")
+    lines.append(("copyright example press all rights reserved", None, "boilerplate", []))
+    html_parts.append("</body></html>")
+
+    # ---- derive goldens from the line layout (renderer policy: "\n" joins) --
+    raw_lines = [ln[0] for ln in lines]
+    raw_text = "\n".join(raw_lines)
+    offsets: list[int] = []
+    pos = 0
+    for ln in raw_lines:
+        offsets.append(pos)
+        pos += len(ln) + 1
+
+    kept_parts: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+    removed: list[tuple[int, int, str]] = []
+    for (text_line, kind, reason, struck_rel), off in zip(lines, offsets):
+        start, end = off, off + len(text_line)
+        if reason is not None:
+            removed.append((start, end, reason))
+            continue
+        if struck_rel:
+            cleaned = text_line
+            for rs, re_ in sorted(struck_rel, reverse=True):
+                # expansion rule: absorb the preceding space (always present
+                # mid-paragraph in generated pages)
+                removed.append((start + rs - 1, start + re_, "struck"))
+                cleaned = cleaned[: rs - 1] + cleaned[re_:]
+            kept_parts.append(cleaned)
+        else:
+            kept_parts.append(text_line)
+        spans.append((start, end, kind))
+    # removed spans are recorded in block order by the extractor: boilerplate
+    # and struck interleave in document order already (lines are ordered)
+    removed.sort(key=lambda t: t[0])
+
+    return GoldenPage(
+        url=url,
+        warc_ts=warc_ts,
+        html="".join(html_parts).encode("utf-8"),
+        text=raw_text,
+        lang=lang,
+        extracted_text="\n".join(kept_parts),
+        spans=spans,
+        removed_spans=removed,
+        has_table=with_table,
+        has_figure=with_figure,
+    )
+
+
+def gen_pages(n: int, seed: int = 42, start: int = 0) -> list[GoldenPage]:
+    return [make_page(i, seed) for i in range(start, start + n)]

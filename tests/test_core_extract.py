@@ -1,0 +1,100 @@
+"""Pure-core tests: extractor vs goldens-by-construction (no Spark).
+
+Mirrors the reference's golden-fixture practice
+(/root/reference/python_files/outputs/*.json): the fixture factory composes
+pages and derives expected output from its own layout arithmetic; the
+extractor must independently recover byte-identical text from the HTML alone.
+"""
+
+from ocr_machine_spark.core.extract import extract_one
+from ocr_machine_spark.core.htmlparse import parse_html, render
+from ocr_machine_spark.fixtures import gen_pages
+
+N = 300
+
+
+def test_render_whitespace_policy():
+    raw, blocks = render(parse_html("<p>  a   b </p><p>c</p>"))
+    assert raw == "a b\nc"
+    assert [(b.start, b.end) for b in blocks] == [(0, 3), (4, 5)]
+
+
+def test_render_skips_script_style_head():
+    raw, _ = render(parse_html("<head><title>t</title></head><script>x=1</script><p>hi</p><style>.a{}</style>"))
+    assert raw == "hi"
+
+
+def test_render_entities_and_br():
+    raw, _ = render(parse_html("<p>a &amp; b<br>c</p>"))
+    assert raw == "a & b\nc"
+
+
+def test_render_malformed_unclosed():
+    raw, blocks = render(parse_html("<p>one<p>two<li>three"))
+    assert raw == "one\ntwo\nthree"
+    assert len(blocks) == 3
+
+
+def test_extract_struck_removed():
+    r = extract_one(b"<p>keep this part <del>drop these words</del> and this tail end too</p>")
+    assert r.ok
+    assert r.extracted_text == "keep this part and this tail end too"
+    assert [t[2] for t in r.removed_spans] == ["struck"]
+    s, e, _ = r.removed_spans[0]
+    assert r.raw_text[s:e] == " drop these words"
+
+
+def test_extract_boilerplate_gates():
+    html = (
+        b"<nav><ul><li><a href='/'>home</a></li></ul></nav>"
+        b"<p>this paragraph has plenty of words to pass the content gate</p>"
+        b"<footer>copyright words and more words</footer>"
+    )
+    r = extract_one(html)
+    assert r.extracted_text == "this paragraph has plenty of words to pass the content gate"
+    reasons = {t[2] for t in r.removed_spans}
+    assert reasons == {"boilerplate"}
+
+
+def test_extract_malformed_survives():
+    r = extract_one(None)
+    assert not r.ok and r.error
+    r = extract_one(b"")
+    assert not r.ok
+    r = extract_one(b"\xff\xfe\x00garbage<<<>>")
+    assert r.ok  # decode errors='replace' keeps the row alive
+
+
+def test_goldens_match_extractor():
+    """The core correctness gate: byte-identical extracted text per url."""
+    pages = gen_pages(N)
+    n_empty = n_struck = n_table = 0
+    for p in pages:
+        r = extract_one(p.html)
+        assert r.ok, (p.url, r.error)
+        assert r.raw_text == p.text, p.url
+        assert r.extracted_text == p.extracted_text, p.url
+        assert r.spans == p.spans, p.url
+        assert r.removed_spans == p.removed_spans, p.url
+        assert r.has_table == p.has_table and r.has_figure == p.has_figure
+        n_empty += not p.extracted_text
+        n_struck += any(t[2] == "struck" for t in p.removed_spans)
+        n_table += p.has_table
+    # the corpus exercises every fixture case
+    assert n_empty > 0 and n_struck > 0 and n_table > 0
+
+
+def test_extract_deterministic_rerun():
+    p = gen_pages(1, start=7)[0]
+    a, b = extract_one(p.html), extract_one(p.html)
+    assert a.extracted_text == b.extracted_text and a.spans == b.spans
+
+
+def test_blocks_output():
+    p = gen_pages(1, start=3)[0]
+    r = extract_one(p.html, want_blocks=True)
+    assert r.blocks and all(b["end"] > b["start"] for b in r.blocks)
+    types = {b["block_type"] for b in r.blocks}
+    assert "LAYOUT_TEXT" in types
+    for b in r.blocks:
+        assert r.raw_text[b["start"] : b["end"]] == b["text"]
