@@ -1,0 +1,237 @@
+"""Spark extraction operators — the hot path of the engine.
+
+One Arrow-batched ``mapInPandas`` stage carries the whole per-page pipeline
+(parse → block scoring → noise removal → consolidated text), exactly one
+JVM↔Python round-trip per batch — the structural fix for the reference's
+O(words×pages) re-render pathology (``python_files/strikethrough_agent.py:40``
+re-renders the whole PDF per word) and its row-at-a-time network calls
+(``python_files/table_detector_agent.py:188-206``). There is **zero
+row-at-a-time Python UDF dispatch**: Python runs once per Arrow batch.
+
+Scale notes (100 TB / 10^12 rows):
+* input is pruned to ``(url, html)`` before the UDF — Catalyst pushes the
+  projection into the parquet/Iceberg scan so ``text`` (often as large as
+  ``html``) is never read;
+* ``repartition_salted`` spreads skewed hosts across tasks before the UDF —
+  the salt affects placement only, never content, so per-url output stays
+  byte-identical under any partitioning (SURVEY.md §7 "hard parts: skew");
+* blocks are exploded only by the analysis layer (``extract_blocks``), never
+  on the main extraction path — at 10^12 rows a block explode is ~100× row
+  amplification.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ocr_machine_spark.core.extract import extract_one
+
+# ---------------------------------------------------------------------------
+# Schemas (input contract per BASELINE.json:input_hint)
+# ---------------------------------------------------------------------------
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), True),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ]
+)
+
+SPAN_TYPE = StructType(
+    [
+        StructField("start", LongType(), False),
+        StructField("end", LongType(), False),
+        StructField("kind", StringType(), False),
+    ]
+)
+
+REMOVED_SPAN_TYPE = StructType(
+    [
+        StructField("start", LongType(), False),
+        StructField("end", LongType(), False),
+        StructField("reason", StringType(), False),
+    ]
+)
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("extracted_text", StringType(), True),
+        StructField("spans", ArrayType(SPAN_TYPE), True),
+        StructField("removed_spans", ArrayType(REMOVED_SPAN_TYPE), True),
+        StructField("has_table", BooleanType(), True),
+        StructField("has_figure", BooleanType(), True),
+        StructField("n_blocks", IntegerType(), True),
+        StructField("n_content_blocks", IntegerType(), True),
+        StructField("chars_in", LongType(), True),
+        StructField("chars_out", LongType(), True),
+        StructField("bytes_html", LongType(), True),
+        StructField("ok", BooleanType(), False),
+        StructField("error", StringType(), True),
+    ]
+)
+
+BLOCKS_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("block_id", StringType(), False),
+        StructField("block_type", StringType(), False),
+        StructField("tag", StringType(), False),
+        StructField("depth", IntegerType(), False),
+        StructField("text", StringType(), True),
+        StructField("start", LongType(), False),
+        StructField("end", LongType(), False),
+        StructField("n_chars", IntegerType(), False),
+        StructField("n_words", IntegerType(), False),
+        StructField("link_density", DoubleType(), False),
+        StructField("text_density", DoubleType(), False),
+        StructField("is_content", BooleanType(), False),
+        StructField("kind", StringType(), True),
+        StructField("reason", StringType(), True),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Partitioning / skew (north_rule: explicit handling, not AQE-only)
+# ---------------------------------------------------------------------------
+
+
+def repartition_salted(df: DataFrame, n_partitions: int, key: str = "url", salt_buckets: int = 64) -> DataFrame:
+    """Explicit hash repartition on ``key`` with a deterministic salt.
+
+    ``pmod(xxhash64(key), salt_buckets)`` spreads rows of a skewed host across
+    ``salt_buckets`` sub-keys before the shuffle — placement only; content and
+    per-url results are unaffected. Analogue of the reference's fixed-size
+    chunk split for API limits (``run_textract.py:8-31``), done logically.
+    """
+    salt = F.pmod(F.xxhash64(F.col(key)), F.lit(salt_buckets))
+    return df.repartition(n_partitions, F.xxhash64(F.col(key)), salt)
+
+
+def with_bucket(df: DataFrame, n_buckets: int, key: str = "url") -> DataFrame:
+    """Deterministic bucket id for lineage/resume (FIXTURES.md §4)."""
+    return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Extraction operators
+# ---------------------------------------------------------------------------
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        urls = pdf["url"].tolist()
+        htmls = pdf["html"].tolist()
+        rows = []
+        for url, html in zip(urls, htmls):
+            r = extract_one(html)
+            rows.append(
+                (
+                    url,
+                    r.extracted_text if r.ok else None,
+                    [{"start": s, "end": e, "kind": k} for s, e, k in r.spans],
+                    [{"start": s, "end": e, "reason": k} for s, e, k in r.removed_spans],
+                    r.has_table,
+                    r.has_figure,
+                    r.n_blocks,
+                    r.n_content_blocks,
+                    r.chars_in,
+                    r.chars_out,
+                    len(html) if html is not None else 0,
+                    r.ok,
+                    r.error,
+                )
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in EXTRACT_SCHEMA.fields])
+
+
+def extract_pages(pages: DataFrame, *, partitions: int | None = None) -> DataFrame:
+    """pages(url, html, ...) → one extraction row per page (1:1, failures kept).
+
+    The projection to (url, html) happens *before* the UDF so the scan never
+    reads unused columns (check: ``.explain`` shows ReadSchema with only the
+    two fields when reading parquet).
+    """
+    slim = pages.select("url", "html")
+    if partitions:
+        slim = repartition_salted(slim, partitions)
+    return slim.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
+
+
+def _blocks_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in BLOCKS_SCHEMA.fields]
+    for pdf in batches:
+        rows = []
+        for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+            r = extract_one(html, want_blocks=True)
+            if not r.ok:
+                continue
+            for seq, b in enumerate(r.blocks):
+                rows.append(
+                    (
+                        url,
+                        f"{url}#{seq}",  # deterministic id — no uuids (SURVEY §7)
+                        b["block_type"],
+                        b["tag"],
+                        b["depth"],
+                        b["text"],
+                        b["start"],
+                        b["end"],
+                        b["n_chars"],
+                        b["n_words"],
+                        b["link_density"],
+                        b["text_density"],
+                        b["is_content"],
+                        b["kind"],
+                        b["reason"],
+                    )
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_blocks(pages: DataFrame, *, partitions: int | None = None) -> DataFrame:
+    """pages → exploded typed block rows (the Textract-block-model analogue,
+    SURVEY.md §1.3). Analysis layer only — not on the 10^12-row hot path."""
+    slim = pages.select("url", "html")
+    if partitions:
+        slim = repartition_salted(slim, partitions)
+    return slim.mapInPandas(_blocks_batches, schema=BLOCKS_SCHEMA)
+
+
+def detect_regions(blocks: DataFrame) -> DataFrame:
+    """Table/figure region rows per page — the page-classifier analogue
+    (``python_files/table_detector_agent.py:140-158`` roll-up), computed
+    relationally from the block table instead of per-page LLM calls."""
+    return (
+        blocks.filter(F.col("block_type").isin("CELL", "TABLE_TITLE", "LAYOUT_FIGURE"))
+        .withColumn(
+            "region_type",
+            F.when(F.col("block_type") == "LAYOUT_FIGURE", F.lit("figure")).otherwise(F.lit("table")),
+        )
+        .groupBy("url", "region_type")
+        .agg(
+            F.min("start").alias("start"),
+            F.max("end").alias("end"),
+            F.count("*").cast("int").alias("n_blocks"),
+        )
+    )

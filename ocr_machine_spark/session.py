@@ -1,0 +1,37 @@
+"""SparkSession factory with the engine's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "ocr-machine-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a session with AQE + Arrow on.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox; on a
+    real cluster leave it unset and let spark-submit provide it. All knobs are
+    plain configs so the same code ships via ``spark-submit --py-files``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    b = (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound Arrow batch memory for pages with multi-MB html payloads
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    b = b.master(master or f"local[{cpus}]")
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

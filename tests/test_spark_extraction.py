@@ -1,0 +1,84 @@
+"""Spark-layer extraction tests: golden parity, determinism across
+partitioning, blocks/regions, lineage-tracked resume."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_machine_spark.operators.extraction import detect_regions, extract_blocks, extract_pages
+from ocr_machine_spark.plans.lineage import read_extractions, read_lineage, run_extraction
+from ocr_machine_spark.sources.pages import generate_goldens, generate_pages
+
+N = 200
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages(spark, N, partitions=4).cache()
+
+
+def test_extraction_matches_goldens(spark, pages):
+    got = extract_pages(pages)
+    want = generate_goldens(spark, N, partitions=4)
+    g = got.select("url", F.col("extracted_text").alias("g_text"), F.col("spans").alias("g_spans"),
+                   F.col("removed_spans").alias("g_removed"))
+    w = want.select("url", F.col("extracted_text").alias("w_text"), F.col("spans").alias("w_spans"),
+                    F.col("removed_spans").alias("w_removed"))
+    j = g.join(w, "url")
+    assert j.count() == N
+    mism = j.filter(
+        (F.col("g_text") != F.col("w_text"))
+        | (F.to_json("g_spans") != F.to_json("w_spans"))
+        | (F.to_json("g_removed") != F.to_json("w_removed"))
+    ).count()
+    assert mism == 0
+
+
+def test_extraction_deterministic_across_partitioning(spark, pages):
+    a = extract_pages(pages, partitions=2).select("url", "extracted_text")
+    b = extract_pages(pages, partitions=7).select(
+        "url", F.col("extracted_text").alias("text_b")
+    )
+    diff = a.join(b, "url").filter(F.col("extracted_text") != F.col("text_b")).count()
+    assert diff == 0
+
+
+def test_extraction_keeps_failed_rows(spark):
+    rows = [("u://bad", None), ("u://empty", b"")]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = extract_pages(df).collect()
+    assert len(out) == 2
+    assert all(not r["ok"] and r["error"] for r in out)
+
+
+def test_blocks_and_regions(spark, pages):
+    blocks = extract_blocks(pages).cache()
+    assert blocks.filter(F.col("block_id").isNull()).count() == 0
+    # block ids unique and deterministic
+    assert blocks.select("block_id").distinct().count() == blocks.count()
+    regions = detect_regions(blocks)
+    tbl_pages = regions.filter(F.col("region_type") == "table").select("url")
+    got = extract_pages(pages).filter(F.col("has_table")).select("url")
+    assert tbl_pages.exceptAll(got).count() == 0
+    assert got.exceptAll(tbl_pages).count() == 0
+
+
+def test_lineage_resume_exactly_once(spark, pages, tmp_path):
+    out = str(tmp_path / "run")
+    # simulate a crash: first run commits only 5 of 16 buckets
+    s1 = run_extraction(spark, pages, out, run_id="r1", n_buckets=16, max_buckets_this_run=5)
+    assert s1["buckets_committed"] == 5
+    mid = read_extractions(spark, out)
+    assert 0 < mid.count() < N
+    # resume: processes only the remaining buckets
+    s2 = run_extraction(spark, pages, out, run_id="r2", n_buckets=16)
+    assert s2["buckets_committed"] == 16 - 5
+    done = read_extractions(spark, out)
+    assert done.count() == N
+    assert done.select("url").distinct().count() == N  # no dupes
+    # idempotent: a third run commits nothing
+    s3 = run_extraction(spark, pages, out, run_id="r3", n_buckets=16)
+    assert s3["buckets_committed"] == 0
+    assert read_extractions(spark, out).count() == N
+    lin = read_lineage(spark, out)
+    assert lin.count() == 16
+    assert lin.agg(F.sum("rows_in")).collect()[0][0] == N
