@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction flow over sf0.001.
+``queries()``    — one callable per implemented operator (SURVEY.md §2 +
+                   the training-data-pipeline ops from the task brief).
+``oracle_sql()`` — DuckDB twins for every SQL-expressible query.
+
+Cross-engine parity conventions (so value hashes match bit-for-bit):
+* money sums go through DECIMAL(18,2) casts on BOTH sides (exact arithmetic,
+  no float summation-order drift);
+* ratio/score outputs are fixed-point longs: floor(x*10000 + 0.5) — identical
+  IEEE ops on both sides, no round-rule ambiguity;
+* every top-k ranks on the fixed-point score with an id tiebreak, so ordering
+  can't be perturbed by sub-1e-4 float noise;
+* text normalization is the engine-wide policy: lower → collapse whitespace →
+  trim (DuckDB regexp_replace needs the 'g' flag to match Spark).
 """
 
 from __future__ import annotations
@@ -12,27 +21,656 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ocr_machine_spark.functions import cosine, fixed_point, l2_norm, norm_text, token_count
+from ocr_machine_spark.operators import dedup as D
+from ocr_machine_spark.operators import similarity as S
+from ocr_machine_spark.operators import textstats as T
+from ocr_machine_spark.operators.extraction import detect_regions, extract_blocks, extract_pages
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col: str | F.Column) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+def _dec4(col: F.Column) -> F.Column:
+    # for 2dp × 2dp money products: the true value has exactly 4 decimal
+    # digits, so a 4dp cast never hits a rounding tie on either engine
+    return col.cast("decimal(18,4)")
+
+
+# SQL fragments mirroring the helpers above
+_SQL_FIX = "CAST(floor(({x})*10000.0 + 0.5) AS BIGINT)"
+_SQL_NORM = "trim(regexp_replace(lower({x}), '\\s+', ' ', 'g'))"
+
+
+def _sql_fix(x: str) -> str:
+    return _SQL_FIX.format(x=x)
+
+
+def _sql_count_word(padded: str, word: str) -> str:
+    needle = f" {word} "
+    return f"CAST((length({padded}) - length(replace({padded}, '{needle}', ' '))) / {len(needle) - 1} AS BIGINT)"
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+EMB_DIM = 64
+
+
+def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap the documents table into Common-Crawl-shaped pages (url, html):
+    deterministic boilerplate + the doc text as main content. Pure column
+    expressions — the html is assembled JVM-side."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            "<html><head><title>t</title></head><body>"
+            "<header><h1>Site Title</h1></header>"
+            "<nav><ul><li><a href='/a'>home</a></li><li><a href='/b'>about</a></li></ul></nav>"
+            "<main><p>"
+        ),
+        F.col("text"),
+        F.lit("</p></main><footer><p>copyright words reserved here</p></footer></body></html>"),
+    )
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: the end-to-end extraction pipeline on sf0.001
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    pages = _docs_as_pages(spark, "/root/testdata/sf0.001")
+    out = extract_pages(pages, partitions=8)
+    return out.select(
+        "url", "ok", "chars_in", "chars_out", "n_blocks", "n_content_blocks", "has_table"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            fixed_point(F.avg("l_quantity")).alias("avg_qty_e4"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q3_shipping_priority(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _q5_region_revenue(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+def _filter_pushdown_scan(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (F.col("l_quantity") < 5)
+    ).select("l_orderkey", "l_partkey", "l_quantity")
+
+
+def _semi_join_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def _anti_join_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def _broadcast_brand_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), F.sum(_dec("l_quantity")).alias("sum_qty"))
+    )
+
+
+def _window_top_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", _dec("o_totalprice").alias("totalprice"), "rn")
+    )
+
+
+def _window_running_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id", "user_id", fixed_point(F.sum("value").over(w)).alias("running_e4")
+    )
+
+
+def _sessionize_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(1000000.0)
+    gap = secs - F.lag(secs).over(w)
+    is_new = (gap.isNull() | (gap > 1800.0)).cast("long")
+    return (
+        ev.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def _topk_orders_global(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", _dec("o_totalprice").alias("totalprice"))
+    )
+
+
+def _agg_stats_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        fixed_point(F.avg("l_extendedprice")).alias("avg_price_e4"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.count_distinct(F.col("l_returnflag")).alias("n_flags"),
+    )
+
+
+def _distinct_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 25)
+    return li.agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def _rollup_revenue(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.sum(_dec("o_totalprice")).alias("revenue"), F.count("*").alias("n_orders")
+    )
+
+
+def _cube_flag_status(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.sum(_dec("l_quantity")).alias("sum_qty")
+    )
+
+
+def _set_ops_custkeys(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return auto.union(building).distinct().intersect(with_orders).exceptAll(
+        cust.filter(F.col("c_nationkey") == 0).select("c_custkey")
+    )
+
+
+def _case_category_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cat = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.withColumn("category", cat)
+        .groupBy("category", "o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum(_dec("o_totalprice")).alias("total"))
+    )
+
+
+def _hourly_event_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            fixed_point(F.sum("value")).alias("sum_value_e4"),
+        )
+    )
+
+
+def _asof_purchase_before_click(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("click_ts")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    return (
+        clicks.join(purch, "user_id")
+        .filter(F.col("p_ts") <= F.col("click_ts"))
+        .groupBy("click_id")
+        .agg(F.max("p_ts").alias("last_purchase_ts"))
+    )
+
+
+def _pivot_event_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    p = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return p.select("user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES])
+
+
+# ---- text / dedup / similarity --------------------------------------------
+
+
+def _doc_token_stats(spark, sf_dir):
+    return T.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _doc_quality(spark, sf_dir):
+    return T.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _doc_lang_guess(spark, sf_dir):
+    return T.lang_guess(_t(spark, sf_dir, "documents"))
+
+
+def _doc_fingerprint(spark, sf_dir):
+    return T.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _dedup_exact_docs(spark, sf_dir):
+    return D.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def _jaccard_pairs_3gram(spark, sf_dir):
+    return D.jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.2)
+
+
+def _minhash_lsh_pairs(spark, sf_dir):
+    return D.minhash_dedup_pairs(_t(spark, sf_dir, "documents"), k=3, n_hashes=32, bands=8, threshold=0.2)
+
+
+def _simhash_near_pairs(spark, sf_dir):
+    sig = D.simhash(_t(spark, sf_dir, "documents"))
+    return D.simhash_near_pairs(sig, max_hamming=3)
+
+
+def _ann_cosine_topk(spark, sf_dir):
+    return S.cosine_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+def _ann_lsh_topk(spark, sf_dir):
+    return S.ann_topk_lsh(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, dim=EMB_DIM, n_planes=8)
+
+
+def _embedding_norm_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = l2_norm(F.col("embedding").cast("array<double>"))
+    return (
+        emb.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), fixed_point(F.avg("nrm")).alias("avg_norm_e4"))
+    )
+
+
+# ---- extraction pipeline (rows-only checks: DuckDB can't parse HTML) -------
+
+
+def _extraction_e2e(spark, sf_dir):
+    out = extract_pages(_docs_as_pages(spark, sf_dir), partitions=8)
+    return out.select("url", "ok", "chars_out", "n_content_blocks", "has_table")
+
+
+def _blocks_by_type(spark, sf_dir):
+    blocks = extract_blocks(_docs_as_pages(spark, sf_dir))
+    return blocks.groupBy("block_type").agg(
+        F.count("*").alias("n"), F.sum("n_words").alias("n_words")
+    )
+
+
+def _region_detection(spark, sf_dir):
+    from ocr_machine_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 300, partitions=8)
+    return detect_regions(extract_blocks(pages)).groupBy("region_type").agg(
+        F.count("*").alias("n_regions"), F.sum("n_blocks").alias("n_blocks")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_region_revenue": _q5_region_revenue,
+        "filter_pushdown_scan": _filter_pushdown_scan,
+        "semi_join_customers": _semi_join_customers,
+        "anti_join_customers": _anti_join_customers,
+        "broadcast_brand_agg": _broadcast_brand_agg,
+        "window_top_orders": _window_top_orders,
+        "window_running_value": _window_running_value,
+        "sessionize_events": _sessionize_events,
+        "topk_orders_global": _topk_orders_global,
+        "agg_stats_lineitem": _agg_stats_lineitem,
+        "distinct_counts": _distinct_counts,
+        "rollup_revenue": _rollup_revenue,
+        "cube_flag_status": _cube_flag_status,
+        "set_ops_custkeys": _set_ops_custkeys,
+        "case_category_orders": _case_category_orders,
+        "hourly_event_rollup": _hourly_event_rollup,
+        "asof_purchase_before_click": _asof_purchase_before_click,
+        "pivot_event_counts": _pivot_event_counts,
+        "doc_token_stats": _doc_token_stats,
+        "doc_quality": _doc_quality,
+        "doc_lang_guess": _doc_lang_guess,
+        "doc_fingerprint": _doc_fingerprint,
+        "dedup_exact_docs": _dedup_exact_docs,
+        "jaccard_pairs_3gram": _jaccard_pairs_3gram,
+        "minhash_lsh_pairs": _minhash_lsh_pairs,
+        "simhash_near_pairs": _simhash_near_pairs,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "embedding_norm_stats": _embedding_norm_stats,
+        "extraction_e2e": _extraction_e2e,
+        "blocks_by_type": _blocks_by_type,
+        "region_detection": _region_detection,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _norm(x: str) -> str:
+    return _SQL_NORM.format(x=x)
+
+
+def _lang_sql() -> str:
+    t = _norm("text")
+    scores = []
+    for lang in sorted(T.LANG_MARKERS):
+        terms = " + ".join(_sql_count_word("p", w) for w in T.LANG_MARKERS[lang])
+        scores.append(f"({terms}) / toks AS s_{lang}")
+    return f"""
+WITH n AS (
+  SELECT doc_id, ' ' || {t} || ' ' AS p, len(string_split({t}, ' ')) AS toks FROM documents
+), s AS (
+  SELECT doc_id, {', '.join(scores)} FROM n
+)
+SELECT doc_id,
+  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END AS pred_lang,
+  {_sql_fix('greatest(s_de, s_en, s_es, s_fr)')} AS lang_score_e4
+FROM s
+"""
+
+
+def _quality_sql() -> str:
+    t = _norm("text")
+    stop_terms = " + ".join(_sql_count_word("p", w) for w in T.STOPWORDS)
+    return f"""
+WITH n AS (
+  SELECT doc_id, {t} AS tx, ' ' || {t} || ' ' AS p, len(string_split({t}, ' ')) AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, ({stop_terms}) / toks AS stop_ratio,
+         least(length(tx) / 500.0, 1.0) AS len_score FROM n
+)
+SELECT doc_id, toks AS n_tokens, {_sql_fix('stop_ratio')} AS stop_ratio_e4,
+       {_sql_fix('len_score * 0.5 + least(stop_ratio * 5.0, 1.0) * 0.5')} AS quality_e4
+FROM s
+"""
+
+
+_JACCARD_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS s FROM w),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), j AS (
+  SELECT a, b, inter, inter / (na.n + nb.n - inter) AS jac
+  FROM pairs JOIN sz na ON pairs.a = na.doc_id JOIN sz nb ON pairs.b = nb.doc_id
+)
+SELECT a, b, inter, {_sql_fix('jac')} AS jaccard_e4 FROM j WHERE jac >= 0.2
+"""
+
+_ANN_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({', '.join(str(i) for i in ANN_QUERY_IDS)})),
+scored AS (
+  SELECT qid, e.vec_id AS nid,
+         {_sql_fix('list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))')} AS sim_e4
+  FROM q, e WHERE e.vec_id != qid
+), r AS (
+  SELECT qid, nid AS neighbor_id, sim_e4,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, nid ASC) AS rk
+  FROM scored
+)
+SELECT qid, neighbor_id, sim_e4, rk FROM r WHERE rk <= 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    nt = _norm("text")
+    return {
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+  CAST(floor(avg(l_quantity)*10000.0 + 0.5) AS BIGINT) AS avg_qty_e4,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "q3_shipping_priority": """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""",
+        "q5_region_revenue": """
+SELECT n_name, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+        "filter_pushdown_scan": """
+SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity < 5
+""",
+        "semi_join_customers": """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+        "anti_join_customers": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+        "broadcast_brand_agg": """
+SELECT p_brand, count(*) AS n_items, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
+""",
+        "window_top_orders": """
+SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+""",
+        "window_running_value": f"""
+SELECT event_id, user_id,
+  {_sql_fix("sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_e4
+FROM events
+""",
+        "sessionize_events": """
+WITH x AS (
+  SELECT user_id, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id,
+  CAST(count(*) FILTER (gap IS NULL OR gap > 1800.0) AS BIGINT) AS n_sessions,
+  count(*) AS n_events
+FROM x GROUP BY user_id
+""",
+        "topk_orders_global": """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""",
+        "agg_stats_lineitem": """
+SELECT count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+  CAST(floor(avg(l_extendedprice)*10000.0 + 0.5) AS BIGINT) AS avg_price_e4,
+  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+  count(DISTINCT l_returnflag) AS n_flags
+FROM lineitem
+""",
+        "distinct_counts": """
+SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+FROM lineitem WHERE l_quantity >= 25
+""",
+        "rollup_revenue": """
+SELECT r_name, n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+        "cube_flag_status": """
+SELECT l_returnflag, l_linestatus, count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "set_ops_custkeys": """
+SELECT c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment IN ('AUTOMOBILE','BUILDING')
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders
+)
+EXCEPT ALL
+SELECT c_custkey FROM customer WHERE c_nationkey = 0
+""",
+        "case_category_orders": """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            ELSE 'large' END AS category,
+       o_orderstatus, count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+FROM orders GROUP BY 1, 2
+""",
+        "hourly_event_rollup": f"""
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+  {_sql_fix('sum(value)')} AS sum_value_e4
+FROM events GROUP BY 1, 2
+""",
+        "asof_purchase_before_click": """
+SELECT c.event_id AS click_id, max(p.ts) AS last_purchase_ts
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase' AND p.ts <= c.ts
+GROUP BY c.event_id
+""",
+        "pivot_event_counts": f"""
+SELECT user_id,
+  {', '.join(f"count(*) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+FROM events GROUP BY user_id
+""",
+        "doc_token_stats": f"""
+SELECT doc_id, len(string_split({nt}, ' ')) AS n_tokens, length({nt}) AS n_chars_norm,
+  {_sql_fix(f"length({nt}) / len(string_split({nt}, ' '))")} AS avg_token_len_e4
+FROM documents
+""",
+        "doc_quality": _quality_sql(),
+        "doc_lang_guess": _lang_sql(),
+        "doc_fingerprint": f"SELECT doc_id, md5({nt}) AS fp FROM documents",
+        "dedup_exact_docs": f"""
+SELECT md5({nt}) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+        "jaccard_pairs_3gram": _JACCARD_SQL,
+        "ann_cosine_topk": _ANN_SQL,
+        "embedding_norm_stats": f"""
+SELECT label, count(*) AS n,
+  {_sql_fix('avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))')} AS avg_norm_e4
+FROM embeddings GROUP BY label
+""",
+        # minhash_lsh_pairs, simhash_near_pairs, ann_lsh_topk: hash-function-
+        # specific (xxhash64 / md5-bit / SRP planes) — not SQL-replicable;
+        # extraction_e2e, blocks_by_type, region_detection: DuckDB cannot
+        # parse HTML. Driver records rows-only checks for these.
+    }

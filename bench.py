@@ -1,0 +1,105 @@
+"""Bench harness: headline queries + extraction throughput at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "pages_per_sec": ...}
+
+The headline metric mirrors BASELINE.json: pages/sec extraction throughput,
+measured over a deterministic synthetic pages table (the generator is part of
+the engine; pages are generated once, written to parquet, and timed reads go
+through the same scan path a lake table would).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+EXTRACT_PAGES = int(os.environ.get("BENCH_EXTRACT_PAGES", "20000"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "broadcast_brand_agg",
+    "window_top_orders",
+    "sessionize_events",
+    "hourly_event_rollup",
+    "dedup_exact_docs",
+    "jaccard_pairs_3gram",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "ann_cosine_topk",
+    "doc_lang_guess",
+    "doc_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from ocr_machine_spark.session import get_spark
+
+    spark = get_spark(app="ocr-machine-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # full materialization of the result
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    # extraction throughput: generate once (not timed), then timed extract
+    from ocr_machine_spark.operators.extraction import extract_pages
+    from ocr_machine_spark.sources.pages import generate_pages
+
+    tmp = tempfile.mkdtemp(prefix="bench_pages_")
+    try:
+        pages_path = os.path.join(tmp, "pages")
+        generate_pages(spark, EXTRACT_PAGES, partitions=64).write.parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
+        t0 = time.perf_counter()
+        out = extract_pages(pages, partitions=64)
+        stats = out.groupBy().agg(
+            {"bytes_html": "sum", "chars_out": "sum", "url": "count"}
+        ).collect()[0]
+        ext_sec = time.perf_counter() - t0
+        n_pages = stats["count(url)"]
+        bytes_html = stats["sum(bytes_html)"]
+        times["extract_pages"] = round(ext_sec, 3)
+        pages_per_sec = round(n_pages / ext_sec, 1)
+        mb_per_sec = round(bytes_html / ext_sec / 1e6, 2)
+        print(f"  extract_pages: {ext_sec:.1f}s ({n_pages} pages, {pages_per_sec} pages/s, {mb_per_sec} MB/s)", file=sys.stderr)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_extraction",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "pages_per_sec": pages_per_sec,
+                "html_mb_per_sec": mb_per_sec,
+                "extract_pages_n": n_pages,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Column-expression helpers — JVM-side only (whole-stage-codegen friendly).
+
+Everything here compiles to built-in Catalyst expressions; no Python UDFs.
+These are the engine's "scalar function" surface, the declarative counterpart
+of the reference's per-row helper functions (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def norm_text(col: Column | str) -> Column:
+    """Canonical text normalization: lowercase + collapse whitespace + trim.
+    The engine-wide normalization policy (SURVEY.md §7 determinism)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(c, " "))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-grams as an array<string> — pure expressions (transform/slice),
+    the shingle stage of MinHash/Jaccard dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    ws = F.split(c, " ")
+    # guard: sequence(1, 0) would generate a DESCENDING sequence in Spark
+    return F.when(
+        F.size(ws) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (k - 1)),
+            lambda i: F.array_join(F.slice(ws, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns via zip_with + aggregate —
+    sequential left-to-right summation (deterministic, matches DuckDB's
+    list_dot_product order for oracle parity)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def fixed_point(col: Column, scale: int = 10_000) -> Column:
+    """floor(x*scale + 0.5) as bigint — cross-engine-stable rounding for value
+    hashing (identical IEEE ops on both sides, no round-rule ambiguity)."""
+    return F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("long")

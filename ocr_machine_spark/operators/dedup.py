@@ -1,0 +1,231 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Four tiers, cheapest-first — at 10^12 rows you run them in this order and
+each tier prunes the next tier's input:
+
+1. exact        — md5-groupBy, one shuffle on a 32-byte key
+2. ngram-jaccard — exact set similarity on word shingles (quadratic in the
+                   candidate set; used to *verify* candidates, or standalone
+                   at small scale). DuckDB-oracle-checked.
+3. minhash-LSH  — banded MinHash over shingles; candidate pairs only ever
+                   meet inside a band-bucket shuffle, never a cross join.
+                   Verified by tier 2 on the candidates.
+4. simhash      — 64-bit near-dup signature via a vectorized pandas UDF
+                   (numpy over Arrow batches; a genuinely non-relational op).
+
+All hash choices are deterministic (xxhash64 with per-permutation key mixing,
+no RNG at runtime), so dedup keeps the engine's re-run byte-identity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_machine_spark.functions import fixed_point, norm_text, word_shingles
+
+
+def dedup_exact(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Exact dedup: keep the smallest key per content hash.
+    One groupBy on md5 — map-side partial agg, broadcast-free."""
+    return (
+        docs.select(F.col(key), F.md5(norm_text(text)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(key).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle_rows(docs: DataFrame, k: int = 3, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Distinct (key, shingle) rows — the exploded form both Jaccard and
+    MinHash build on."""
+    return (
+        docs.select(F.col(key), F.explode(word_shingles(F.col(text), k)).alias("s"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    threshold: float = 0.2,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (a < b, J ≥ threshold).
+
+    Shape: shingle-explode → self-equi-join on shingle (sort-merge/shuffled
+    hash on the shingle key — never a cross join) → per-pair intersection
+    count → J = |∩| / (|A|+|B|−|∩|). At scale, run on LSH candidates only.
+    """
+    sh = shingle_rows(docs, k, key, text).cache()
+    sizes = sh.groupBy(key).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(key).alias("a"), "s")
+    b = sh.select(F.col(key).alias("b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(key).alias("a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(key).alias("b"), F.col("n").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .withColumn("jaccard_e4", fixed_point(jac))
+        .filter(jac >= F.lit(threshold))
+        .select("a", "b", "inter", "jaccard_e4")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, *, k: int = 3, n_hashes: int = 32, key: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """MinHash signature per document: permutation h_i(s) = xxhash64(i || s);
+    signature[i] = min over shingles. Pure expressions, one groupBy."""
+    sh = shingle_rows(docs, k, key, text)
+    mins = [
+        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = sh.groupBy(key).agg(*mins)
+    return sig.select(F.col(key), F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, *, bands: int = 8, rows_per_band: int = 4, key: str = "doc_id"
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any full band become a
+    candidate pair. The shuffle key is (band, bucket-hash) — skew-free, no
+    cross join, exactly the shape that survives 1000 executors."""
+    banded = sig.select(
+        F.col(key),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(
+                            F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(F.col(key), F.col("bb.band"), F.col("bb.bucket"))
+    x = banded.select(F.col(key).alias("a"), "band", "bucket")
+    y = banded.select(F.col(key).alias("b"), "band", "bucket")
+    return (
+        x.join(y, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """LSH candidates → exact-Jaccard verification (candidate-only join)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, k=k, n_hashes=n_hashes, key=key, text=text)
+    cand = lsh_candidate_pairs(sig, bands=bands, rows_per_band=rows_per_band, key=key)
+    sh = shingle_rows(docs, k, key, text).cache()
+    sizes = sh.groupBy(key).agg(F.count("*").alias("n"))
+    # candidate-restricted intersection: attach a's shingles, then equi-join
+    # on (b, shingle) — no per-pair cross product
+    inter = (
+        cand.join(sh.select(F.col(key).alias("a"), "s"), "a")
+        .join(sh.select(F.col(key).alias("b"), "s"), ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(sizes.select(F.col(key).alias("a"), F.col("n").alias("n_a")), "a")
+        .join(sizes.select(F.col(key).alias("b"), F.col("n").alias("n_b")), "b")
+        .withColumn("jaccard_e4", fixed_point(jac))
+        .filter(jac >= F.lit(threshold))
+        .select("a", "b", "jaccard_e4")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash — vectorized pandas UDF (numpy over Arrow batches)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_SCHEMA = "doc_id long, simhash long"
+
+
+def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    bits = np.arange(64, dtype=np.uint64)
+    for pdf in batches:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+            words = (text or "").lower().split()
+            if not words:
+                out.append((doc_id, 0))
+                continue
+            # deterministic 64-bit word hashes (stable across runs/executors)
+            hs = np.array(
+                [np.uint64(int.from_bytes(__import__("hashlib").md5(w.encode()).digest()[:8], "little")) for w in set(words)],
+                dtype=np.uint64,
+            )
+            bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bitmat - 1).sum(axis=0)
+            sim = np.uint64(0)
+            for j in range(64):
+                if votes[j] > 0:
+                    sim |= np.uint64(1) << np.uint64(j)
+            out.append((doc_id, int(np.int64(sim))))
+        yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+
+
+def simhash(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """64-bit SimHash per document (unique-word voting, md5-based bit hashes).
+    Near-dup pairs = signatures within small Hamming distance; pair generation
+    buckets on 16-bit chunks (pigeonhole: dist ≤ 3 ⇒ one of 4 chunks equal)."""
+    slim = docs.select(F.col(key).alias("doc_id"), F.col(text).alias("text"))
+    return slim.mapInPandas(_simhash_batches, schema=_SIMHASH_SCHEMA)
+
+
+def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs by 16-bit chunk equality (4 chunks ⇒ any pair with
+    Hamming ≤ 3 shares a chunk), verified by exact popcount."""
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("c"), F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("v"))
+                for c in range(4)
+            ])
+        ).alias("ch"),
+    ).select("doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    a = chunks.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "c", "v")
+    b = chunks.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), "c", "v")
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        a.join(b, ["c", "v"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data pipelines — all JVM-side
+expressions (no Python on the hot path): token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+These are first-class components for the 100 TB pipeline (task brief): each
+has an exact ANSI-SQL twin in ``__spark_entry__.oracle_sql`` so correctness is
+DuckDB-checked, and each is a narrow projection over ``documents``/pages so
+Catalyst prunes the scan to the columns used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_machine_spark.functions import fixed_point, norm_text, token_count
+
+# tiny marker-word lists for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ["the", "a", "and", "of"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "les", "et"],
+    "es": ["el", "los", "las", "y"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def _count_word(text_col, word: str):
+    # occurrences of a whole word in a single-space-normalized text
+    padded = F.concat(F.lit(" "), text_col, F.lit(" "))
+    needle = f" {word} "
+    # replace() not regexp: overlapping " w w " cases don't occur after
+    # normalization because the needle includes both pad spaces — to count
+    # adjacent repeats correctly we replace with a single space instead of ""
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
+        / (len(needle) - 1)
+    ).cast("long")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token statistics (whitespace tokenizer)."""
+    t = norm_text("text")
+    toks = token_count(t)
+    return docs.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        F.length(t).alias("n_chars_norm"),
+        fixed_point(F.length(t) / toks).alias("avg_token_len_e4"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Deterministic quality gates: length, stopword ratio, mean token length
+    — the text twin of the reference's geometric quality gates
+    (``python_files/strikethrough_agent.py:100-127``)."""
+    t = norm_text("text")
+    toks = token_count(t)
+    stop_hits = None
+    for w in STOPWORDS:
+        c = _count_word(t, w)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    stop_ratio = stop_hits / toks
+    len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    score = len_score * F.lit(0.5) + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.5)
+    return docs.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        fixed_point(stop_ratio).alias("stop_ratio_e4"),
+        fixed_point(score).alias("quality_e4"),
+    )
+
+
+def lang_guess(docs: DataFrame) -> DataFrame:
+    """Marker-word language scorer; deterministic argmax tiebreak by language
+    code. (Heuristic n-gram lang-ID per task brief — scored per language,
+    winner-take-all.)"""
+    t = norm_text("text")
+    toks = token_count(t)
+    cols = []
+    for lang in sorted(LANG_MARKERS):
+        hits = None
+        for w in LANG_MARKERS[lang]:
+            c = _count_word(t, w)
+            hits = c if hits is None else hits + c
+        cols.append(F.struct((hits / toks).alias("score"), F.lit(lang).alias("lang")))
+    # argmax with (score desc, lang asc) tiebreak via array_max over structs:
+    # struct comparison is lexicographic, so negate... simpler: greatest of
+    # structs puts highest score first; ties broken by lang DESC — invert lang
+    # by using array_sort and taking the last element with explicit comparator.
+    arr = F.array(*cols)
+    best = F.array_sort(
+        arr,
+        lambda x, y: F.when(x["score"] < y["score"], F.lit(-1))
+        .when(x["score"] > y["score"], F.lit(1))
+        .otherwise(  # equal scores → later lang code sorts first → asc wins
+            F.when(x["lang"] > y["lang"], F.lit(-1)).when(x["lang"] < y["lang"], F.lit(1)).otherwise(F.lit(0))
+        ),
+    )[len(cols) - 1]
+    return docs.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        fixed_point(best["score"]).alias("lang_score_e4"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over normalized text (the cheap global
+    fingerprint; MinHash/SimHash in operators.dedup are the near-dup ones)."""
+    return docs.select("doc_id", F.md5(norm_text("text")).alias("fp"))
