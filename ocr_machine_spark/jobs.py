@@ -1,0 +1,68 @@
+"""spark-submit entry point for the production extraction job.
+
+Usage (cluster):
+    zip -r ocr_machine_spark.zip ocr_machine_spark
+    spark-submit --py-files ocr_machine_spark.zip \
+        --master <cluster> \
+        ocr_machine_spark/jobs.py \
+        --input  <pages parquet/iceberg path> \
+        --output <output dir> \
+        --run-id <id> [--buckets 4096] [--partitions <2-4x total cores>]
+
+The job is idempotent: re-running with the same --output resumes from the
+lineage table (only uncommitted buckets are processed — see
+ocr_machine_spark.plans.lineage). All compute is Arrow-batched; zero
+row-at-a-time Python (BASELINE.json execution constraint).
+
+Sizing guidance at 10^12 rows / 100 TB html:
+* --buckets: O(10^5) so each bucket is a few hundred MB of output and a
+  resume unit; bucket id = pmod(xxhash64(url), buckets) — stable across runs
+  and cluster sizes.
+* --partitions: 2-4× total executor cores; the salted repartition in
+  extract_pages spreads mega-hosts across tasks.
+* spark.sql.files.maxPartitionBytes=256m keeps scan tasks bounded; AQE
+  coalesces the post-UDF writes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# invoked as a script path (spark-submit pkg/jobs.py or python pkg/jobs.py):
+# put the package's parent on sys.path so the package imports itself
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from ocr_machine_spark.plans.lineage import run_extraction
+    from ocr_machine_spark.session import get_spark
+
+    spark = get_spark(app=f"extract-{args.run_id}", master=args.master)
+    pages = spark.read.parquet(args.input)
+    stats = run_extraction(
+        spark,
+        pages,
+        args.output,
+        run_id=args.run_id,
+        n_buckets=args.buckets,
+        partitions=args.partitions,
+        input_split=args.input,
+    )
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,90 @@
+"""Physical-plan quality gates — the 100×-scale discipline, asserted in CI.
+
+These tests read `.explain`/optimizedPlan output and fail if a scan stops
+pruning or a broadcast stops broadcasting. They encode SURVEY.md §4: what
+Catalyst gives for free must stay free.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_machine_spark.operators.extraction import extract_pages
+from ocr_machine_spark.sources.pages import generate_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("pages") / "pages")
+    generate_pages(spark, 50, partitions=2).write.parquet(p)
+    return p
+
+
+def test_extraction_scan_prunes_columns(spark, pages_path):
+    """The extraction UDF must only read (url, html) from the lake — never
+    text/lang/warc_ts (ReadSchema check; at 100 TB `text` is half the bytes)."""
+    df = extract_pages(spark.read.parquet(pages_path))
+    plan = _physical(df)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "url" in read_schema and "html" in read_schema
+    assert "text" not in read_schema and "lang" not in read_schema and "warc_ts" not in read_schema
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_quantity")
+    plan = _physical(df)
+    assert "PushedFilters: [" in plan and "LessThan(l_quantity,5" in plan.replace(" ", "")
+
+
+def test_broadcast_join_is_broadcast(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    df = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).groupBy("p_brand").count()
+    assert "BroadcastHashJoin" in _physical(df)
+
+
+def test_semi_join_stays_semi(spark):
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    df = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    assert "LeftSemi" in _physical(df)
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """groupBy must do map-side partial aggregation (HashAggregate appears
+    both below and above the exchange)."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = _physical(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_no_python_udf_in_relational_queries(spark):
+    """The relational query surface must stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython nodes — row-at-a-time Python is banned on these paths)."""
+    import __spark_entry__ as E
+
+    relational = [
+        "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+        "broadcast_brand_agg", "window_top_orders", "sessionize_events",
+        "jaccard_pairs_3gram", "minhash_lsh_pairs", "doc_lang_guess",
+        "doc_quality", "ann_cosine_topk",
+    ]
+    qs = E.queries()
+    for name in relational:
+        plan = _physical(qs[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "mapInPandas" not in plan.lower(), name
