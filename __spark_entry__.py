@@ -382,6 +382,131 @@ def _embedding_norm_stats(spark, sf_dir):
     )
 
 
+# ---- descriptive stats / windows / misc relational -------------------------
+
+
+def _doc_length_percentiles(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pct = F.percentile("n_chars", F.lit([0.05, 0.25, 0.5, 0.75, 0.95]))
+    agg = docs.groupBy("lang").agg(pct.alias("p"), F.count("*").alias("n"))
+    return agg.select(
+        "lang", "n",
+        *[fixed_point(F.col("p")[i]).alias(f"p{tag}_e4") for i, tag in enumerate(["05", "25", "50", "75", "95"])],
+    )
+
+
+def _sliding_avg_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return ev.select("event_id", "user_id", fixed_point(F.avg("value").over(w)).alias("avg4_e4"))
+
+
+def _lead_lag_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        fixed_point(F.lag("value").over(w)).alias("lag_e4"),
+        fixed_point(F.lead("value").over(w)).alias("lead_e4"),
+        F.first("event_id").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("first_event"),
+    )
+
+
+def _ntile_price_bands(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    # global ntile is single-partition by construction — query-surface demo,
+    # not a hot-path pattern (at scale: pre-bucket by range partitioner)
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.withColumn("band", F.ntile(4).over(w))
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), F.sum(_dec("o_totalprice")).alias("total"))
+    )
+
+
+def _string_funcs_parts(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+    )
+
+
+def _conditional_agg_nation(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    return j.groupBy("n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias("n_big"),
+        fixed_point(F.avg("o_totalprice")).alias("avg_price_e4"),
+    )
+
+
+def _full_outer_join_counts(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    return j.agg(
+        F.sum((F.col("c_custkey").isNotNull() & F.col("o_orderkey").isNotNull()).cast("long")).alias("n_match"),
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("n_cust_only"),
+        F.sum(F.col("c_custkey").isNull().cast("long")).alias("n_order_only"),
+    )
+
+
+def _grouping_sets_revenue(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return spark.sql(
+        """
+        SELECT n_name, c_mktsegment,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+               count(*) AS n
+        FROM {orders} JOIN {cust} ON o_custkey = c_custkey
+        JOIN {nation} ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        """,
+        orders=orders, cust=cust, nation=nation,
+    )
+
+
+def _approx_distinct_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # HLL-sketch distinct — algorithm-specific, rows-only check by design
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supps"),
+    )
+
+
+def _media_features(spark, sf_dir):
+    from ocr_machine_spark.operators.multimodal import decode_media, generate_media
+
+    media = generate_media(spark, 300, partitions=8)
+    feats = decode_media(media)
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("bytes"),
+        fixed_point(F.avg(F.element_at("features", 1))).alias("avg_f0_e4"),
+    )
+
+
+def _media_frame_plan(spark, sf_dir):
+    from ocr_machine_spark.operators.multimodal import generate_media, sample_frames
+
+    media = generate_media(spark, 300, partitions=8)
+    return sample_frames(media, every_n=24).groupBy("media_id").agg(
+        F.count("*").alias("n_frames_sampled"), F.max("offset_ms").alias("last_offset_ms")
+    )
+
+
 # ---- extraction pipeline (rows-only checks: DuckDB can't parse HTML) -------
 
 
@@ -428,6 +553,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_rollup": _hourly_event_rollup,
         "asof_purchase_before_click": _asof_purchase_before_click,
         "pivot_event_counts": _pivot_event_counts,
+        "doc_length_percentiles": _doc_length_percentiles,
+        "sliding_avg_value": _sliding_avg_value,
+        "lead_lag_events": _lead_lag_events,
+        "ntile_price_bands": _ntile_price_bands,
+        "string_funcs_parts": _string_funcs_parts,
+        "conditional_agg_nation": _conditional_agg_nation,
+        "full_outer_join_counts": _full_outer_join_counts,
+        "grouping_sets_revenue": _grouping_sets_revenue,
+        "approx_distinct_parts": _approx_distinct_parts,
+        "media_features": _media_features,
+        "media_frame_plan": _media_frame_plan,
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
         "doc_lang_guess": _doc_lang_guess,
@@ -649,6 +785,58 @@ GROUP BY c.event_id
 SELECT user_id,
   {', '.join(f"count(*) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
 FROM events GROUP BY user_id
+""",
+        "doc_length_percentiles": f"""
+SELECT lang, count(*) AS n,
+  {_sql_fix('quantile_cont(n_chars, 0.05)')} AS p05_e4,
+  {_sql_fix('quantile_cont(n_chars, 0.25)')} AS p25_e4,
+  {_sql_fix('quantile_cont(n_chars, 0.5)')} AS p50_e4,
+  {_sql_fix('quantile_cont(n_chars, 0.75)')} AS p75_e4,
+  {_sql_fix('quantile_cont(n_chars, 0.95)')} AS p95_e4
+FROM documents GROUP BY lang
+""",
+        "sliding_avg_value": f"""
+SELECT event_id, user_id,
+  {_sql_fix("avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)")} AS avg4_e4
+FROM events
+""",
+        "lead_lag_events": f"""
+SELECT event_id,
+  {_sql_fix("lag(value) OVER w")} AS lag_e4,
+  {_sql_fix("lead(value) OVER w")} AS lead_e4,
+  first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_event
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        "ntile_price_bands": """
+SELECT band, count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total FROM (
+  SELECT o_totalprice, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS band FROM orders
+) GROUP BY band
+""",
+        "string_funcs_parts": """
+SELECT p_partkey, upper(substring(p_name, 1, 8)) AS prefix, length(p_name) AS name_len,
+  concat_ws('-', p_brand, p_type) AS brand_type, replace(p_type, ' ', '_') AS type_slug
+FROM part
+""",
+        "conditional_agg_nation": f"""
+SELECT n_name, count(*) AS n_orders,
+  sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big,
+  {_sql_fix('avg(o_totalprice)')} AS avg_price_e4
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "full_outer_join_counts": """
+SELECT
+  CAST(sum(CASE WHEN c_custkey IS NOT NULL AND o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cust_only,
+  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_order_only
+FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+""",
+        "grouping_sets_revenue": """
+SELECT n_name, c_mktsegment, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue, count(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
 """,
         "doc_token_stats": f"""
 SELECT doc_id, len(string_split({nt}, ' ')) AS n_tokens, length({nt}) AS n_chars_norm,

@@ -1,0 +1,47 @@
+"""Streaming surface: the batch extract UDF lifted into Structured Streaming.
+
+The reference is batch-only (its "streaming inference" at
+``training_strikethrough/README.md:16`` means synchronous per-image calls,
+not event streams — SURVEY.md §1.6), so streaming is an *extension*: the SAME
+``mapInPandas`` stage runs unchanged under ``readStream`` (SURVEY.md §7
+"hard parts" notes the lift), which is the point — one extraction core, two
+execution modes.
+
+At scale this is the continuous-ingest story: new WARC drops land as files /
+Kafka messages; watermarked windows bound state for late pages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_machine_spark.operators.extraction import PAGES_SCHEMA, extract_pages
+
+
+def extract_pages_stream(
+    spark: SparkSession, input_path: str, *, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """File-source stream of pages parquet → streaming extraction frame.
+
+    The returned frame is unbounded; sink it with ``writeStream`` (parquet +
+    checkpointLocation in production; memory sink in tests)."""
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    return extract_pages(stream)
+
+
+def windowed_page_counts(
+    spark: SparkSession, input_path: str, *, window: str = "1 hour", late: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window ingest metrics (late pages beyond the
+    watermark are dropped deterministically)."""
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_path)
+    return (
+        stream.withWatermark("warc_ts", late)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(F.count("*").alias("n_pages"), F.sum(F.length("html")).alias("bytes_html"))
+    )

@@ -1,0 +1,79 @@
+"""Streaming lift + multimodal plumbing tests."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_machine_spark.operators.extraction import extract_pages
+from ocr_machine_spark.operators.multimodal import decode_media, generate_media, sample_frames
+from ocr_machine_spark.sources.pages import generate_pages
+from ocr_machine_spark.streaming import extract_pages_stream, windowed_page_counts
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("stream") / "pages")
+    generate_pages(spark, N, partitions=4).write.parquet(p)
+    return p
+
+
+def test_stream_matches_batch(spark, pages_dir):
+    """The same UDF under readStream produces exactly the batch output."""
+    out = extract_pages_stream(spark, pages_dir, max_files_per_trigger=2)
+    q = out.writeStream.format("memory").queryName("ext_stream").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.table("ext_stream").select("url", "extracted_text", "chars_out")
+    batch = extract_pages(spark.read.parquet(pages_dir)).select(
+        "url", F.col("extracted_text").alias("b_text"), F.col("chars_out").alias("b_chars")
+    )
+    assert streamed.count() == N
+    j = streamed.join(batch, "url")
+    assert j.count() == N
+    assert j.filter((F.col("extracted_text") != F.col("b_text"))).count() == 0
+
+
+def test_windowed_counts_complete(spark, pages_dir):
+    agg = windowed_page_counts(spark, pages_dir, window="30 days", late="90 days")
+    q = agg.writeStream.format("memory").queryName("win_counts").outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("win_counts")
+    assert rows.agg(F.sum("n_pages")).collect()[0][0] == N
+    assert rows.filter(F.col("bytes_html") <= 0).count() == 0
+
+
+def test_media_decode_stub_deterministic(spark):
+    media = generate_media(spark, 60, partitions=4).cache()
+    feats = decode_media(media)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 60
+    assert all(r["ok"] and len(r["features"]) == 32 for r in rows.values())
+    # deterministic across partitionings
+    rows2 = {r["media_id"]: r for r in decode_media(media.repartition(7)).collect()}
+    assert all(rows[k]["features"] == rows2[k]["features"] for k in rows)
+    # values bounded [0,1]
+    assert all(0.0 <= v <= 1.0 for v in rows[0]["features"])
+
+
+def test_media_decode_strict_raises(spark):
+    media = generate_media(spark, 4, partitions=1)
+    with pytest.raises(Exception) as ei:
+        decode_media(media, strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "real media decode" in str(ei.value)
+
+
+def test_frame_sampling_plan(spark):
+    media = generate_media(spark, 60, partitions=4)
+    frames = sample_frames(media, every_n=24)
+    vids = media.filter(F.col("kind") == "video").count()
+    assert frames.select("media_id").distinct().count() == vids
+    assert frames.filter(F.col("frame_idx") % 24 != 0).count() == 0
+    bad = frames.join(media.select("media_id", F.col("meta.n_frames").alias("nf")), "media_id") \
+        .filter(F.col("frame_idx") >= F.col("nf")).count()
+    assert bad == 0
