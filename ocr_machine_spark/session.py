@@ -7,6 +7,15 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str:
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:
+        return "/tmp"
+
+
 def get_spark(
     app: str = "ocr-machine-spark",
     master: str | None = None,
@@ -35,6 +44,10 @@ def get_spark(
         # zstd shuffle compression: html/text payloads compress 2-3x better
         # than with lz4, shrinking the non-scaling shuffle I/O component
         .config("spark.io.compression.codec", "zstd")
+        # RAM-backed shuffle/spill dirs when available: on a real cluster
+        # every executor brings its own local disks (they scale with N);
+        # a single shared sandbox disk would fake poor scaling
+        .config("spark.local.dir", _local_dir())
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
