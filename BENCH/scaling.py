@@ -244,7 +244,7 @@ def _orchestrate() -> None:
                 f"limit; a real cluster adds memory channels with executors.  \n"
                 f"engine efficiency vs hardware ceiling: **{engine_eff}**  \n"
                 f"scaling efficiency (median pair, raw): **{efficiency:.3f}** (gate ≥ 0.8 raw or vs-hw → "
-                + ("**PASS**" if efficiency >= 0.8 else "**FAIL**")
+                + ("**PASS**" if summary["pass"] else "**FAIL**")
                 + ")\n\nThroughput is auditable against the lineage table: "
                 "`ocr_machine_spark.plans.lineage` records per-bucket rows/bytes.\n"
             )
