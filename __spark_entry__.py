@@ -522,6 +522,38 @@ def _blocks_by_type(spark, sf_dir):
     )
 
 
+def _blocks_cell_grid(spark, sf_dir):
+    """CELL-family block rows with Row/ColumnIndex — the Textract CELL model
+    analogue (reference fixture: 79 CELL + 5 MERGED_CELL blocks)."""
+    from ocr_machine_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 300, partitions=8)
+    blocks = extract_blocks(pages)
+    cells = blocks.filter(F.col("block_type") == "CELL")
+    return cells.groupBy("url").agg(
+        F.count("*").alias("n_cells"),
+        F.max("row_idx").alias("n_rows"),
+        F.max("col_idx").alias("n_cols"),
+        F.sum(F.array_contains("entity_types", "COLUMN_HEADER").cast("int")).alias("n_header_cells"),
+    )
+
+
+def _blocks_integrity(spark, sf_dir):
+    """Referential-integrity check after block classification — the P6
+    analogue (strikethrough_agent.py:194-205 patches CHILD id lists after
+    removal); here: dangling child/parent refs must be zero."""
+    from ocr_machine_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 200, partitions=8)
+    blocks = extract_blocks(pages)
+    ids = blocks.select("url", F.col("block_id").alias("ref"))
+    children = blocks.select("url", F.explode("child_ids").alias("ref"))
+    dangling = children.join(ids, ["url", "ref"], "left_anti")
+    return blocks.groupBy().agg(F.count("*").alias("n_blocks")).crossJoin(
+        dangling.groupBy().agg(F.count("*").alias("n_dangling"))
+    )
+
+
 def _region_detection(spark, sf_dir):
     from ocr_machine_spark.sources.pages import generate_pages
 
@@ -577,6 +609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_stats": _embedding_norm_stats,
         "extraction_e2e": _extraction_e2e,
         "blocks_by_type": _blocks_by_type,
+        "blocks_cell_grid": _blocks_cell_grid,
+        "blocks_integrity": _blocks_integrity,
         "region_detection": _region_detection,
     }
 

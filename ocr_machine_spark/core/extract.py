@@ -166,6 +166,12 @@ def extract_one(html: bytes | str | None, want_blocks: bool = False) -> ExtractR
                     "is_content": kind is not None and not fully_struck,
                     "kind": kind,
                     "reason": reason,
+                    "row_idx": b.row_idx,
+                    "col_idx": b.col_idx,
+                    "row_span": b.row_span if b.row_idx is not None else None,
+                    "col_span": b.col_span if b.row_idx is not None else None,
+                    "entity_types": ["COLUMN_HEADER"] if b.is_header_cell else [],
+                    "_block": b,  # identity for parent/child resolution below
                 }
             )
 
@@ -190,6 +196,24 @@ def extract_one(html: bytes | str | None, want_blocks: bool = False) -> ExtractR
         spans.append((b.start, b.end, kind))
 
     removed.sort(key=lambda t: (t[0], t[1]))
+    if block_rows:
+        # resolve the Relationships graph (reference block model: parent→child
+        # ids, ``strikethrough_agent.py:194-205``): reparent through dropped
+        # text-less blocks to the nearest surviving ancestor
+        seq_of = {id(r["_block"]): i for i, r in enumerate(block_rows)}
+        children: dict[int, list[int]] = {}
+        for i, r in enumerate(block_rows):
+            p = r["_block"].parent
+            while p is not None and id(p) not in seq_of:
+                p = p.parent
+            r["parent_seq"] = seq_of[id(p)] if p is not None else None
+            if r["parent_seq"] is not None:
+                children.setdefault(r["parent_seq"], []).append(i)
+        for i, r in enumerate(block_rows):
+            r["seq"] = i
+            r["child_seqs"] = children.get(i, [])
+            del r["_block"]
+
     extracted = "\n".join(kept_parts)
     return ExtractResult(
         ok=True,

@@ -324,7 +324,12 @@ def parse_html(html: str) -> Element:
 class Block:
     """One rendered text block — the web analogue of a Textract LAYOUT_*/LINE
     block (block taxonomy observed in the reference golden fixture:
-    PAGE/LAYOUT_TEXT/LAYOUT_TABLE/LAYOUT_LIST/LAYOUT_FOOTER/TABLE/CELL/...)."""
+    PAGE/LAYOUT_TEXT/LAYOUT_TABLE/LAYOUT_LIST/LAYOUT_FOOTER/TABLE/CELL/...).
+
+    ``parent`` + per-CELL row/col indices mirror the reference block model's
+    ``Relationships``/``RowIndex``/``ColumnIndex`` fields
+    (``python_files/outputs/full_response_output.json``; consumed at
+    ``python_files/strikethrough_agent.py:194-205``)."""
 
     tag: str
     depth: int
@@ -338,6 +343,12 @@ class Block:
     is_caption: bool = False  # figcaption
     is_heading: bool = False
     is_list_item: bool = False
+    parent: "Block | None" = None  # nearest enclosing block element
+    row_idx: int | None = None  # CELL-family only (1-based, like Textract)
+    col_idx: int | None = None
+    row_span: int = 1
+    col_span: int = 1
+    is_header_cell: bool = False  # <th> → entity_types ['COLUMN_HEADER']
 
     @property
     def link_density(self) -> float:
@@ -380,6 +391,8 @@ class _Renderer:
         self._boiler_depth = 0
         self._table_depth = 0
         self._caption_depth = 0
+        # per-table (row, col) counters; stack supports nested tables
+        self._table_rc: list[list[int]] = []
 
     # -- emit helpers --------------------------------------------------------
     def _append(self, s: str) -> None:
@@ -450,7 +463,28 @@ class _Renderer:
                     is_caption=self._caption_depth > 0 or tag == "figcaption",
                     is_heading=tag in HEADING_TAGS,
                     is_list_item=tag == "li",
+                    parent=self._open[-1] if self._open else None,
                 )
+                if tag == "table":
+                    self._table_rc.append([0, 0])
+                elif tag == "tr" and self._table_rc:
+                    rc = self._table_rc[-1]
+                    rc[0] += 1
+                    rc[1] = 0
+                elif tag in ("td", "th") and self._table_rc:
+                    rc = self._table_rc[-1]
+                    if rc[0] == 0:  # cell outside a <tr> — imply row 1
+                        rc[0] = 1
+                    rc[1] += 1
+                    blk.row_idx, blk.col_idx = rc[0], rc[1]
+                    blk.is_header_cell = tag == "th"
+                    attrs = child.attrs
+                    if attrs:
+                        try:
+                            blk.row_span = max(int(attrs.get("rowspan", 1)), 1)
+                            blk.col_span = max(int(attrs.get("colspan", 1)), 1)
+                        except ValueError:
+                            pass
                 self.blocks.append(blk)
                 self._open.append(blk)
             if tag == "a":
@@ -477,6 +511,8 @@ class _Renderer:
             if tag == "figcaption":
                 self._caption_depth -= 1
             if is_block:
+                if tag == "table" and self._table_rc:
+                    self._table_rc.pop()
                 self._open.pop()
                 self._pending_newline = True
 

@@ -107,6 +107,13 @@ BLOCKS_SCHEMA = StructType(
         StructField("is_content", BooleanType(), False),
         StructField("kind", StringType(), True),
         StructField("reason", StringType(), True),
+        StructField("parent_id", StringType(), True),
+        StructField("child_ids", ArrayType(StringType()), False),
+        StructField("row_idx", IntegerType(), True),
+        StructField("col_idx", IntegerType(), True),
+        StructField("row_span", IntegerType(), True),
+        StructField("col_span", IntegerType(), True),
+        StructField("entity_types", ArrayType(StringType()), False),
     ]
 )
 
@@ -204,6 +211,13 @@ def _blocks_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         b["is_content"],
                         b["kind"],
                         b["reason"],
+                        f"{url}#{b['parent_seq']}" if b["parent_seq"] is not None else None,
+                        [f"{url}#{c}" for c in b["child_seqs"]],
+                        b["row_idx"],
+                        b["col_idx"],
+                        b["row_span"],
+                        b["col_span"],
+                        b["entity_types"],
                     )
                 )
         yield pd.DataFrame(rows, columns=cols)
