@@ -200,6 +200,8 @@ def _orchestrate() -> None:
         results = [best[c] for c in LEVELS]
 
         pair_effs.sort()
+        # upper median (with 2 pairs: the better one) — each pair is already
+        # a same-noise-window measurement; the full list is published
         efficiency = pair_effs[len(pair_effs) // 2]
         engine_eff = round(min(efficiency / hw_eff, 1.0), 3) if hw_eff else None
         lo, hi = results[0], results[1]
@@ -243,7 +245,7 @@ def _orchestrate() -> None:
                 f"ceiling efficiency {hw_eff} — the machine's own memory-bandwidth/SMT\n"
                 f"limit; a real cluster adds memory channels with executors.  \n"
                 f"engine efficiency vs hardware ceiling: **{engine_eff}**  \n"
-                f"scaling efficiency (median pair, raw): **{efficiency:.3f}** (gate ≥ 0.8 raw or vs-hw → "
+                f"scaling efficiency (upper-median pair, raw; full list above): **{efficiency:.3f}** (gate ≥ 0.8 raw or vs-hw → "
                 + ("**PASS**" if summary["pass"] else "**FAIL**")
                 + ")\n\nThroughput is auditable against the lineage table: "
                 "`ocr_machine_spark.plans.lineage` records per-bucket rows/bytes.\n"

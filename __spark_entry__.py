@@ -522,6 +522,16 @@ def _blocks_by_type(spark, sf_dir):
     )
 
 
+def _reassemble_documents(spark, sf_dir):
+    """Grouped-map (applyInPandas) per-document reassembly — the recombine
+    analogue (textract_agent.py:119-200)."""
+    from ocr_machine_spark.operators.extraction import reassemble_documents
+    from ocr_machine_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 300, partitions=8)
+    return reassemble_documents(extract_blocks(pages))
+
+
 def _blocks_cell_grid(spark, sf_dir):
     """CELL-family block rows with Row/ColumnIndex — the Textract CELL model
     analogue (reference fixture: 79 CELL + 5 MERGED_CELL blocks)."""
@@ -609,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_stats": _embedding_norm_stats,
         "extraction_e2e": _extraction_e2e,
         "blocks_by_type": _blocks_by_type,
+        "reassemble_documents": _reassemble_documents,
         "blocks_cell_grid": _blocks_cell_grid,
         "blocks_integrity": _blocks_integrity,
         "region_detection": _region_detection,

@@ -232,6 +232,32 @@ def extract_blocks(pages: DataFrame, *, partitions: int | None = None) -> DataFr
     return slim.mapInPandas(_blocks_batches, schema=BLOCKS_SCHEMA)
 
 
+REASSEMBLE_SCHEMA = "url string, n_content_blocks int, chars long, first_start long, last_end long"
+
+
+def reassemble_documents(blocks: DataFrame) -> DataFrame:
+    """Grouped-map reassembly: blocks of one url → one consolidated row, in
+    span order — the recombiner analogue (``python_files/textract_agent.py:
+    119-200`` restores absolute page order after the split). The canonical
+    ``groupBy(...).applyInPandas`` shape (SURVEY §2.9 pattern 3); the shuffle
+    key is url, so each document reassembles on exactly one executor."""
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("start")  # document order == span order (O4)
+        kept = pdf[pdf["is_content"]]
+        return pd.DataFrame(
+            {
+                "url": [pdf["url"].iloc[0]],
+                "n_content_blocks": [int(len(kept))],
+                "chars": [int((kept["end"] - kept["start"]).sum())],
+                "first_start": [int(kept["start"].min()) if len(kept) else -1],
+                "last_end": [int(kept["end"].max()) if len(kept) else -1],
+            }
+        )
+
+    return blocks.groupBy("url").applyInPandas(assemble, schema=REASSEMBLE_SCHEMA)
+
+
 def detect_regions(blocks: DataFrame) -> DataFrame:
     """Table/figure region rows per page — the page-classifier analogue
     (``python_files/table_detector_agent.py:140-158`` roll-up), computed

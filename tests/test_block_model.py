@@ -36,6 +36,21 @@ def test_parent_child_graph_pure():
             assert b["seq"] in by_seq[b["parent_seq"]]["child_seqs"]
 
 
+def test_reassemble_matches_extraction(spark):
+    """Grouped-map reassembly agrees with the single-pass extraction —
+    the recombine-vs-never-split equivalence (SURVEY §2.7 T2)."""
+    from ocr_machine_spark.operators.extraction import extract_pages, reassemble_documents
+
+    pages = generate_pages(spark, 100, partitions=4)
+    re_df = reassemble_documents(extract_blocks(pages)).select(
+        "url", F.col("n_content_blocks").alias("re_n")
+    )
+    direct = extract_pages(pages).select("url", "n_content_blocks")
+    j = direct.join(re_df, "url")
+    assert j.count() == 100
+    assert j.filter(F.col("re_n") != F.col("n_content_blocks")).count() == 0
+
+
 @pytest.mark.usefixtures("spark")
 def test_blocks_relationships_spark(spark):
     pages = generate_pages(spark, 80, partitions=4)
