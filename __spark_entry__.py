@@ -372,6 +372,21 @@ def _ann_lsh_topk(spark, sf_dir):
     return S.ann_topk_lsh(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, dim=EMB_DIM, n_planes=8)
 
 
+def _embedding_dup_pairs(spark, sf_dir):
+    return S.embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+def _json_props_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("n_null_k"),
+    )
+
+
 def _embedding_norm_stats(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     norm = l2_norm(F.col("embedding").cast("array<double>"))
@@ -617,6 +632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "embedding_norm_stats": _embedding_norm_stats,
+        "embedding_dup_pairs": _embedding_dup_pairs,
+        "json_props_agg": _json_props_agg,
         "extraction_e2e": _extraction_e2e,
         "blocks_by_type": _blocks_by_type,
         "reassemble_documents": _reassemble_documents,
@@ -897,6 +914,22 @@ FROM documents GROUP BY 1
 """,
         "jaccard_pairs_3gram": _JACCARD_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "embedding_dup_pairs": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT a, b, {_sql_fix('sim')} AS sim_e4 FROM p WHERE sim >= 0.9
+""",
+        "json_props_agg": """
+SELECT event_type, count(*) AS n,
+  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
+FROM events GROUP BY event_type
+""",
         "embedding_norm_stats": f"""
 SELECT label, count(*) AS n,
   {_sql_fix('avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))')} AS avg_norm_e4

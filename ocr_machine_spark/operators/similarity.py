@@ -54,6 +54,28 @@ def cosine_topk(
     )
 
 
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    *,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold) — the
+    embedding tier of the dedup ladder (task brief). Exact self-join baseline;
+    at 10^12 scale restrict the pair space with ``srp_buckets`` first (same
+    candidates-only shape as MinHash-LSH)."""
+    base = emb.select(F.col(key).alias("a"), F.col(vec).cast("array<double>").alias("va"))
+    other = emb.select(F.col(key).alias("b"), F.col(vec).cast("array<double>").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        base.join(other, F.col("a") < F.col("b"))
+        .withColumn("sim_e4", fixed_point(sim))
+        .filter(sim >= F.lit(threshold))
+        .select("a", "b", "sim_e4")
+    )
+
+
 def _planes(dim: int, n_planes: int) -> np.ndarray:
     rng = np.random.default_rng(42)  # fixed seed — part of the operator spec
     return rng.standard_normal((n_planes, dim))
