@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ocr_machine_spark.core.htmlparse import block_type_of, parse_html, render
+from ocr_machine_spark.core.htmlparse import block_type_of, render_page
 
 # Classification gates (deterministic constants — the graft's DPI-ladder-style
 # fidelity knobs live here, cf. BASELINE.md "Render DPI ladder").
@@ -110,8 +110,7 @@ def extract_one(html: bytes | str | None, want_blocks: bool = False) -> ExtractR
             if not html:
                 raise ValueError("html is empty")
             text_html = html
-        root = parse_html(text_html)
-        raw, blocks = render(root)
+        raw, blocks = render_page(text_html)
     except Exception as exc:  # noqa: BLE001 — survive any malformed page
         return ExtractResult(ok=False, error=f"{type(exc).__name__}: {exc}")
 

@@ -439,6 +439,75 @@ class _Renderer:
                 else:
                     b.struck_spans.append((start, end))
 
+    # -- element enter/leave events (shared by the tree walk and the
+    #    single-pass tokenizer driver) ---------------------------------------
+    def enter(self, tag: str, depth: int, attrs_src) -> None:
+        if tag in BLOCK_TAGS:
+            self._pending_newline = True
+            blk = Block(
+                tag=tag,
+                depth=depth,
+                boiler=self._boiler_depth > 0 or tag in BOILER_TAGS,
+                in_table=self._table_depth > 0 or tag in TABLE_TAGS,
+                is_caption=self._caption_depth > 0 or tag == "figcaption",
+                is_heading=tag in HEADING_TAGS,
+                is_list_item=tag == "li",
+                parent=self._open[-1] if self._open else None,
+            )
+            if tag == "table":
+                self._table_rc.append([0, 0])
+            elif tag == "tr" and self._table_rc:
+                rc = self._table_rc[-1]
+                rc[0] += 1
+                rc[1] = 0
+            elif tag in ("td", "th") and self._table_rc:
+                rc = self._table_rc[-1]
+                if rc[0] == 0:  # cell outside a <tr> — imply row 1
+                    rc[0] = 1
+                rc[1] += 1
+                blk.row_idx, blk.col_idx = rc[0], rc[1]
+                blk.is_header_cell = tag == "th"
+                attrs = (
+                    _parse_attrs(attrs_src)
+                    if isinstance(attrs_src, str)
+                    else (attrs_src.attrs if isinstance(attrs_src, Element) else attrs_src)
+                ) if attrs_src else None
+                if attrs:
+                    try:
+                        blk.row_span = max(int(attrs.get("rowspan", 1)), 1)
+                        blk.col_span = max(int(attrs.get("colspan", 1)), 1)
+                    except ValueError:
+                        pass
+            self.blocks.append(blk)
+            self._open.append(blk)
+        if tag == "a":
+            self._link_depth += 1
+        elif tag in STRUCK_TAGS:
+            self._struck_depth += 1
+        elif tag in BOILER_TAGS:
+            self._boiler_depth += 1
+        if tag in TABLE_TAGS:
+            self._table_depth += 1
+        elif tag == "figcaption":
+            self._caption_depth += 1
+
+    def leave(self, tag: str) -> None:
+        if tag == "a":
+            self._link_depth -= 1
+        elif tag in STRUCK_TAGS:
+            self._struck_depth -= 1
+        elif tag in BOILER_TAGS:
+            self._boiler_depth -= 1
+        if tag in TABLE_TAGS:
+            self._table_depth -= 1
+        elif tag == "figcaption":
+            self._caption_depth -= 1
+        if tag in BLOCK_TAGS:
+            if tag == "table" and self._table_rc:
+                self._table_rc.pop()
+            self._open.pop()
+            self._pending_newline = True
+
     # -- walk -----------------------------------------------------------------
     def walk(self, el: Element, depth: int = 0) -> None:
         for child in el.children:
@@ -451,70 +520,9 @@ class _Renderer:
             if tag == "br":
                 self._pending_newline = True
                 continue
-            is_block = tag in BLOCK_TAGS
-            blk: Block | None = None
-            if is_block:
-                self._pending_newline = True
-                blk = Block(
-                    tag=tag,
-                    depth=depth,
-                    boiler=self._boiler_depth > 0 or tag in BOILER_TAGS,
-                    in_table=self._table_depth > 0 or tag in TABLE_TAGS,
-                    is_caption=self._caption_depth > 0 or tag == "figcaption",
-                    is_heading=tag in HEADING_TAGS,
-                    is_list_item=tag == "li",
-                    parent=self._open[-1] if self._open else None,
-                )
-                if tag == "table":
-                    self._table_rc.append([0, 0])
-                elif tag == "tr" and self._table_rc:
-                    rc = self._table_rc[-1]
-                    rc[0] += 1
-                    rc[1] = 0
-                elif tag in ("td", "th") and self._table_rc:
-                    rc = self._table_rc[-1]
-                    if rc[0] == 0:  # cell outside a <tr> — imply row 1
-                        rc[0] = 1
-                    rc[1] += 1
-                    blk.row_idx, blk.col_idx = rc[0], rc[1]
-                    blk.is_header_cell = tag == "th"
-                    attrs = child.attrs
-                    if attrs:
-                        try:
-                            blk.row_span = max(int(attrs.get("rowspan", 1)), 1)
-                            blk.col_span = max(int(attrs.get("colspan", 1)), 1)
-                        except ValueError:
-                            pass
-                self.blocks.append(blk)
-                self._open.append(blk)
-            if tag == "a":
-                self._link_depth += 1
-            if tag in STRUCK_TAGS:
-                self._struck_depth += 1
-            if tag in BOILER_TAGS:
-                self._boiler_depth += 1
-            if tag in TABLE_TAGS:
-                self._table_depth += 1
-            if tag == "figcaption":
-                self._caption_depth += 1
-
+            self.enter(tag, depth, child)
             self.walk(child, depth + 1)
-
-            if tag == "a":
-                self._link_depth -= 1
-            if tag in STRUCK_TAGS:
-                self._struck_depth -= 1
-            if tag in BOILER_TAGS:
-                self._boiler_depth -= 1
-            if tag in TABLE_TAGS:
-                self._table_depth -= 1
-            if tag == "figcaption":
-                self._caption_depth -= 1
-            if is_block:
-                if tag == "table" and self._table_rc:
-                    self._table_rc.pop()
-                self._open.pop()
-                self._pending_newline = True
+            self.leave(tag)
 
 
 def render(root: Element) -> tuple[str, list[Block]]:
@@ -529,3 +537,125 @@ def render(root: Element) -> tuple[str, list[Block]]:
     raw = "".join(r.parts)
     blocks = [b for b in r.blocks if b.start >= 0 and b.n_chars > 0]
     return raw, blocks
+
+
+# ---------------------------------------------------------------------------
+# Single-pass fast path: tokenizer → renderer events, no tree allocation
+# ---------------------------------------------------------------------------
+
+
+def render_html(html: str) -> tuple[str, list[Block]]:
+    """Tokenize and render in one pass (no Element tree) — the hot path used
+    by ``extract_one``. Event-for-event equivalent to
+    ``render(parse_html_stdlib(html))`` (differential-fuzzed); falls back to
+    the tree path on any internal error."""
+    r = _Renderer()
+    frames: list[str] = []  # open non-void elements (inline included)
+    skip_depth = 0
+    enter, leave, text = r.enter, r.leave, r._text
+
+    def close_to(i: int) -> None:
+        nonlocal skip_depth
+        for j in range(len(frames) - 1, i - 1, -1):
+            t = frames[j]
+            if t in SKIP_TAGS:
+                skip_depth -= 1
+            elif skip_depth == 0:
+                leave(t)
+        del frames[i:]
+
+    def implied(tag: str) -> None:
+        if tag == "body":
+            for i in range(len(frames) - 1, -1, -1):
+                if frames[i] == "head":
+                    close_to(i)
+                    break
+        if not frames:
+            return
+        top = frames[-1]
+        n = len(frames)
+        if top == "p" and tag in _P_CLOSERS:
+            close_to(n - 1)
+        elif top == "li" and tag == "li":
+            close_to(n - 1)
+        elif top in ("dd", "dt") and tag in ("dd", "dt"):
+            close_to(n - 1)
+        elif top in ("td", "th") and tag in ("td", "th", "tr"):
+            close_to(n - 1)
+            if frames and frames[-1] == "tr" and tag == "tr":
+                close_to(len(frames) - 1)
+        elif top == "tr" and tag == "tr":
+            close_to(n - 1)
+
+    pos = 0
+    for m in _TOKEN_RE.finditer(html):
+        start = m.start()
+        if start < pos:
+            continue  # token inside an already-consumed raw-text region
+        if start > pos:
+            if skip_depth == 0:
+                t = html[pos:start]
+                if "&" in t:
+                    t = unescape(t)
+                text(t)
+        pos = m.end()
+        closing, tag, raw_attrs, selfclose = m.group(1, 2, 3, 4)
+        if tag is None:
+            continue  # comment / doctype / PI / bogus end tag
+        tag = tag.lower()
+        if closing:
+            for i in range(len(frames) - 1, -1, -1):
+                if frames[i] == tag:
+                    close_to(i)
+                    break
+            continue
+        if frames and not selfclose:
+            # stdlib runs implied ends in handle_starttag only (explicit
+            # self-closing tags go through handle_startendtag without them)
+            implied(tag)
+        if tag in SKIP_TAGS:
+            # raw-text elements: consume their content at the tokenizer level
+            close = _RAWTEXT_CLOSE.get(tag)
+            if close is not None:
+                cm = close.search(html, pos)
+                if cm is None:
+                    pos = len(html)
+                    continue
+                gt = html.find(">", cm.end())
+                pos = gt + 1 if gt != -1 else len(html)
+                continue
+            if selfclose or tag in VOID_TAGS:
+                continue
+            frames.append(tag)
+            skip_depth += 1
+            continue
+        if skip_depth > 0:
+            if not (selfclose or tag in VOID_TAGS):
+                frames.append(tag)
+            continue
+        if tag == "br":
+            r._pending_newline = True
+            continue
+        if selfclose or tag in VOID_TAGS:
+            enter(tag, len(frames), raw_attrs)
+            leave(tag)
+            continue
+        enter(tag, len(frames), raw_attrs)
+        frames.append(tag)
+    if pos < len(html) and skip_depth == 0:
+        t = html[pos:]
+        if "&" in t:
+            t = unescape(t)
+        text(t)
+    close_to(0)
+    raw = "".join(r.parts)
+    blocks = [b for b in r.blocks if b.start >= 0 and b.n_chars > 0]
+    return raw, blocks
+
+
+def render_page(html: str) -> tuple[str, list[Block]]:
+    """Fast single-pass render with tree-path fallback."""
+    try:
+        return render_html(html)
+    except Exception:  # pragma: no cover — safety net
+        return render(parse_html_stdlib(html))

@@ -48,6 +48,23 @@ def test_parsers_agree_and_never_raise(html):
     assert [(b.tag, b.start, b.end) for b in fa[1]] == [(b.tag, b.start, b.end) for b in fb[1]]
 
 
+@settings(max_examples=300, deadline=None)
+@given(html_soup())
+def test_single_pass_render_matches_tree(html):
+    """The no-tree fast path must be event-for-event equal to the stdlib
+    tree path: same raw text, same blocks, same relationships/cell fields."""
+    from ocr_machine_spark.core.htmlparse import render_html
+
+    fa = render_html(html)
+    fb = render(parse_html_stdlib(html))
+    assert fa[0] == fb[0]
+    ka = [(b.tag, b.depth, b.start, b.end, b.link_chars, b.struck_spans,
+           b.boiler, b.in_table, b.row_idx, b.col_idx) for b in fa[1]]
+    kb = [(b.tag, b.depth, b.start, b.end, b.link_chars, b.struck_spans,
+           b.boiler, b.in_table, b.row_idx, b.col_idx) for b in fb[1]]
+    assert ka == kb
+
+
 @settings(max_examples=200, deadline=None)
 @given(html_soup())
 def test_extraction_invariants(html):
