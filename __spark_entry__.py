@@ -387,6 +387,22 @@ def _json_props_agg(spark, sf_dir):
     )
 
 
+def _dataset_split_assign(spark, sf_dir):
+    """Deterministic 70/15/15-ish train/val/test assignment (T4 analogue,
+    model_training_pipeline.py:87-134) — hash-based instead of RNG so it is
+    reproducible across engines, runs and partitionings."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1))
+    split = (
+        F.when((c >= 48) & (c <= 57), "train")  # '0'-'9' (10/16)
+        .when(c.isin(97, 98), "val")  # 'a','b' (2/16)
+        .otherwise("test")  # 'c'-'f' (4/16)
+    )
+    return docs.withColumn("split", split).groupBy("split").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("total_chars")
+    )
+
+
 def _embedding_norm_stats(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     norm = l2_norm(F.col("embedding").cast("array<double>"))
@@ -633,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "embedding_norm_stats": _embedding_norm_stats,
         "embedding_dup_pairs": _embedding_dup_pairs,
+        "dataset_split_assign": _dataset_split_assign,
         "json_props_agg": _json_props_agg,
         "extraction_e2e": _extraction_e2e,
         "blocks_by_type": _blocks_by_type,
@@ -914,6 +931,14 @@ FROM documents GROUP BY 1
 """,
         "jaccard_pairs_3gram": _JACCARD_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "dataset_split_assign": """
+SELECT CASE WHEN a BETWEEN 48 AND 57 THEN 'train'
+            WHEN a IN (97, 98) THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n, sum(n_chars) AS total_chars
+FROM (SELECT ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS a, n_chars FROM documents)
+GROUP BY split
+""",
         "embedding_dup_pairs": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 p AS (
