@@ -59,9 +59,10 @@ def _sql_fix(x: str) -> str:
     return _SQL_FIX.format(x=x)
 
 
-def _sql_count_word(padded: str, word: str) -> str:
-    needle = f" {word} "
-    return f"CAST((length({padded}) - length(replace({padded}, '{needle}', ' '))) / {len(needle) - 1} AS BIGINT)"
+def _sql_count_word(ws: str, word: str) -> str:
+    # exact whole-word count over the pre-split token list (matches
+    # operators.textstats._count_word — counts adjacent repeats correctly)
+    return f"CAST(len(list_filter({ws}, x -> x = '{word}')) AS BIGINT)"
 
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -191,7 +192,7 @@ def _window_top_orders(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", _dec("o_totalprice").alias("totalprice"), "rn")
     )
@@ -449,7 +450,7 @@ def _ntile_price_bands(spark, sf_dir):
     # not a hot-path pattern (at scale: pre-bucket by range partitioner)
     w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
     return (
-        orders.withColumn("band", F.ntile(4).over(w))
+        orders.withColumn("band", F.ntile(4).over(w).cast("long"))
         .groupBy("band")
         .agg(F.count("*").alias("n"), F.sum(_dec("o_totalprice")).alias("total"))
     )
@@ -460,7 +461,7 @@ def _string_funcs_parts(spark, sf_dir):
     return part.select(
         "p_partkey",
         F.upper(F.substring("p_name", 1, 8)).alias("prefix"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
     )
@@ -498,7 +499,7 @@ def _grouping_sets_revenue(spark, sf_dir):
     return spark.sql(
         """
         SELECT n_name, c_mktsegment,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue,
                count(*) AS n
         FROM {orders} JOIN {cust} ON o_custkey = c_custkey
         JOIN {nation} ON c_nationkey = n_nationkey
@@ -673,11 +674,11 @@ def _lang_sql() -> str:
     t = _norm("text")
     scores = []
     for lang in sorted(T.LANG_MARKERS):
-        terms = " + ".join(_sql_count_word("p", w) for w in T.LANG_MARKERS[lang])
+        terms = " + ".join(_sql_count_word("ws", w) for w in T.LANG_MARKERS[lang])
         scores.append(f"({terms}) / toks AS s_{lang}")
     return f"""
 WITH n AS (
-  SELECT doc_id, ' ' || {t} || ' ' AS p, len(string_split({t}, ' ')) AS toks FROM documents
+  SELECT doc_id, string_split({t}, ' ') AS ws, len(string_split({t}, ' ')) AS toks FROM documents
 ), s AS (
   SELECT doc_id, {', '.join(scores)} FROM n
 )
@@ -693,10 +694,10 @@ FROM s
 
 def _quality_sql() -> str:
     t = _norm("text")
-    stop_terms = " + ".join(_sql_count_word("p", w) for w in T.STOPWORDS)
+    stop_terms = " + ".join(_sql_count_word("ws", w) for w in T.STOPWORDS)
     return f"""
 WITH n AS (
-  SELECT doc_id, {t} AS tx, ' ' || {t} || ' ' AS p, len(string_split({t}, ' ')) AS toks FROM documents
+  SELECT doc_id, {t} AS tx, string_split({t}, ' ') AS ws, len(string_split({t}, ' ')) AS toks FROM documents
 ), s AS (
   SELECT doc_id, toks, ({stop_terms}) / toks AS stop_ratio,
          least(length(tx) / 500.0, 1.0) AS len_score FROM n
@@ -743,9 +744,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_disc_price,
   CAST(floor(avg(l_quantity)*10000.0 + 0.5) AS BIGINT) AS avg_qty_e4,
   count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -753,7 +754,7 @@ GROUP BY l_returnflag, l_linestatus
 """,
         "q3_shipping_priority": """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
@@ -762,7 +763,7 @@ GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderkey LIMIT 10
 """,
         "q5_region_revenue": """
-SELECT n_name, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -784,7 +785,7 @@ SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """,
         "broadcast_brand_agg": """
-SELECT p_brand, count(*) AS n_items, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+SELECT p_brand, count(*) AS n_items, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
 """,
         "window_top_orders": """
@@ -812,7 +813,7 @@ SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 """,
         "agg_stats_lineitem": """
-SELECT count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+SELECT count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
   CAST(floor(avg(l_extendedprice)*10000.0 + 0.5) AS BIGINT) AS avg_price_e4,
   min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
   count(DISTINCT l_returnflag) AS n_flags
@@ -823,14 +824,14 @@ SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supp
 FROM lineitem WHERE l_quantity >= 25
 """,
         "rollup_revenue": """
-SELECT r_name, n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue, count(*) AS n_orders
+SELECT r_name, n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue, count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
 """,
         "cube_flag_status": """
-SELECT l_returnflag, l_linestatus, count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
         "set_ops_custkeys": """
@@ -846,7 +847,7 @@ SELECT c_custkey FROM customer WHERE c_nationkey = 0
 SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
             WHEN o_totalprice < 150000 THEN 'medium'
             ELSE 'large' END AS category,
-       o_orderstatus, count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+       o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
 FROM orders GROUP BY 1, 2
 """,
         "hourly_event_rollup": f"""
@@ -887,7 +888,7 @@ SELECT event_id,
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
         "ntile_price_bands": """
-SELECT band, count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total FROM (
+SELECT band, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total FROM (
   SELECT o_totalprice, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS band FROM orders
 ) GROUP BY band
 """,
@@ -898,7 +899,7 @@ FROM part
 """,
         "conditional_agg_nation": f"""
 SELECT n_name, count(*) AS n_orders,
-  sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big,
+  CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
   {_sql_fix('avg(o_totalprice)')} AS avg_price_e4
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -912,7 +913,7 @@ SELECT
 FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
 """,
         "grouping_sets_revenue": """
-SELECT n_name, c_mktsegment, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue, count(*) AS n
+SELECT n_name, c_mktsegment, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue, count(*) AS n
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
@@ -935,7 +936,7 @@ FROM documents GROUP BY 1
 SELECT CASE WHEN a BETWEEN 48 AND 57 THEN 'train'
             WHEN a IN (97, 98) THEN 'val'
             ELSE 'test' END AS split,
-       count(*) AS n, sum(n_chars) AS total_chars
+       count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM (SELECT ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS a, n_chars FROM documents)
 GROUP BY split
 """,
@@ -950,7 +951,7 @@ SELECT a, b, {_sql_fix('sim')} AS sim_e4 FROM p WHERE sim >= 0.9
 """,
         "json_props_agg": """
 SELECT event_type, count(*) AS n,
-  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
   CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
 FROM events GROUP BY event_type

@@ -71,7 +71,10 @@ def _expand_span(raw: str, start: int, end: int) -> tuple[int, int]:
     removing it never leaves a doubled space (white-out margin analogue)."""
     if start > 0 and raw[start - 1] == " " and (end >= len(raw) or raw[end] in " \n"):
         return start - 1, end
-    if end < len(raw) and raw[end] == " ":
+    # absorb a trailing space only when the span begins at a boundary —
+    # if visible text immediately precedes the span, that text still needs
+    # the space to separate it from what follows the excision
+    if end < len(raw) and raw[end] == " " and (start == 0 or raw[start - 1] in " \n"):
         return start, end + 1
     return start, end
 

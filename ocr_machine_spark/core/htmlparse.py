@@ -385,6 +385,10 @@ class _Renderer:
         self._open: list[Block] = []
         self._pending_newline = False
         self._pending_space = False
+        # True once non-struck text has been appended after the last struck
+        # append — gates struck-span merging so a visible char between two
+        # <del> runs is never swallowed into the struck span
+        self._nonstruck_between = True
         # contextual flags carried down the walk
         self._link_depth = 0
         self._struck_depth = 0
@@ -413,7 +417,8 @@ class _Renderer:
     def _text(self, raw: str) -> None:
         if not raw:
             return
-        collapsed = " ".join(raw.split())
+        words = raw.split()
+        collapsed = " ".join(words)
         if raw[0].isspace():
             self._pending_space = True
         if not collapsed:
@@ -424,20 +429,38 @@ class _Renderer:
         end = self.length
         if raw[-1].isspace():
             self._pending_space = True
+        # Count only non-separator characters into n_chars/link_chars. This
+        # makes the accounting invariant under text-event segmentation:
+        # html.parser splits data at a bogus '<' into several handle_data
+        # events while the single-pass tokenizer emits one run — total word
+        # chars (and the rendered output) are identical either way, so the
+        # hot path and the stdlib-tree oracle agree byte-for-byte AND
+        # count-for-count (regression: '<p>'*19 + '<a>< <').
+        nch = (end - start) - (len(words) - 1)
         if self._open:
             b = self._open[-1]
             if b.start < 0:
                 b.start = start
             b.end = end
-            b.n_chars += end - start
+            b.n_chars += nch
             if self._link_depth > 0:
-                b.link_chars += end - start
+                b.link_chars += nch
             if self._struck_depth > 0:
-                if b.struck_spans and b.struck_spans[-1][1] >= start - 1:
-                    # merge with preceding struck run (and the space between)
+                if (
+                    b.struck_spans
+                    and b.struck_spans[-1][1] >= start - 1
+                    and not self._nonstruck_between
+                ):
+                    # merge with the preceding struck run: the ≤1-char gap is
+                    # a renderer-emitted separator, never visible user text
+                    # (the _nonstruck_between gate guarantees that —
+                    # regression: <del>x</del>y<del>z</del> keeps 'y')
                     b.struck_spans[-1] = (b.struck_spans[-1][0], end)
                 else:
                     b.struck_spans.append((start, end))
+                self._nonstruck_between = False
+            else:
+                self._nonstruck_between = True
 
     # -- element enter/leave events (shared by the tree walk and the
     #    single-pass tokenizer driver) ---------------------------------------

@@ -19,8 +19,10 @@ def norm_text(col: Column | str) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
+    # long, not int: result-type parity with DuckDB len() (BIGINT) so the
+    # driver's typed value hash matches
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.split(c, " "))
+    return F.size(F.split(c, " ")).cast("long")
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:

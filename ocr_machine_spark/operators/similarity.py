@@ -48,7 +48,7 @@ def cosine_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim_e4").desc(), F.col("nid").asc())
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("qid", F.col("nid").alias("neighbor_id"), "sim_e4", "rk")
     )
@@ -126,7 +126,7 @@ def ann_topk_lsh(
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim_e4").desc(), F.col("nid").asc())
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("qid", F.col("nid").alias("neighbor_id"), "sim_e4", "rk")
     )

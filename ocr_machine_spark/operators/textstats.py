@@ -26,17 +26,11 @@ LANG_MARKERS = {
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
 
 
-def _count_word(text_col, word: str):
-    # occurrences of a whole word in a single-space-normalized text
-    padded = F.concat(F.lit(" "), text_col, F.lit(" "))
-    needle = f" {word} "
-    # replace() not regexp: overlapping " w w " cases don't occur after
-    # normalization because the needle includes both pad spaces — to count
-    # adjacent repeats correctly we replace with a single space instead of ""
-    return (
-        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
-        / (len(needle) - 1)
-    ).cast("long")
+def _count_word(ws_col, word: str):
+    # exact whole-word occurrence count over the pre-split token array —
+    # counts adjacent repeats correctly (' the the ' → 2), unlike the
+    # replace()-based length delta which does not rescan its own output
+    return F.size(F.filter(ws_col, lambda x: x == F.lit(word))).cast("long")
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
@@ -46,7 +40,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         toks.alias("n_tokens"),
-        F.length(t).alias("n_chars_norm"),
+        F.length(t).cast("long").alias("n_chars_norm"),
         fixed_point(F.length(t) / toks).alias("avg_token_len_e4"),
     )
 
@@ -56,15 +50,17 @@ def quality_score(docs: DataFrame) -> DataFrame:
     — the text twin of the reference's geometric quality gates
     (``python_files/strikethrough_agent.py:100-127``)."""
     t = norm_text("text")
-    toks = token_count(t)
+    # split once, count many: one array projection feeds all word counters
+    d = docs.select("doc_id", t.alias("tx"), F.split(t, " ").alias("ws"))
+    toks = F.size("ws").cast("long")
     stop_hits = None
     for w in STOPWORDS:
-        c = _count_word(t, w)
+        c = _count_word(F.col("ws"), w)
         stop_hits = c if stop_hits is None else stop_hits + c
     stop_ratio = stop_hits / toks
-    len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    len_score = F.least(F.length("tx") / F.lit(500.0), F.lit(1.0))
     score = len_score * F.lit(0.5) + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.5)
-    return docs.select(
+    return d.select(
         "doc_id",
         toks.alias("n_tokens"),
         fixed_point(stop_ratio).alias("stop_ratio_e4"),
@@ -77,12 +73,13 @@ def lang_guess(docs: DataFrame) -> DataFrame:
     code. (Heuristic n-gram lang-ID per task brief — scored per language,
     winner-take-all.)"""
     t = norm_text("text")
-    toks = token_count(t)
+    d = docs.select("doc_id", F.split(t, " ").alias("ws"))
+    toks = F.size("ws").cast("long")
     cols = []
     for lang in sorted(LANG_MARKERS):
         hits = None
         for w in LANG_MARKERS[lang]:
-            c = _count_word(t, w)
+            c = _count_word(F.col("ws"), w)
             hits = c if hits is None else hits + c
         cols.append(F.struct((hits / toks).alias("score"), F.lit(lang).alias("lang")))
     # argmax with (score desc, lang asc) tiebreak via array_max over structs:
@@ -98,7 +95,7 @@ def lang_guess(docs: DataFrame) -> DataFrame:
             F.when(x["lang"] > y["lang"], F.lit(-1)).when(x["lang"] < y["lang"], F.lit(1)).otherwise(F.lit(0))
         ),
     )[len(cols) - 1]
-    return docs.select(
+    return d.select(
         "doc_id",
         best["lang"].alias("pred_lang"),
         fixed_point(best["score"]).alias("lang_score_e4"),

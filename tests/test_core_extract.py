@@ -44,6 +44,19 @@ def test_extract_struck_removed():
     assert r.raw_text[s:e] == " drop these words"
 
 
+def test_struck_merge_never_swallows_visible_text():
+    # regression (ADVICE r1): the old merge rule `end >= start - 1` merged
+    # across ANY 1-char gap, so the visible 'y' between two <del> runs was
+    # excised as if struck
+    r = extract_one(b"<p>alpha beta gamma delta <del>x</del>y<del>z</del> tail words</p>")
+    assert r.ok
+    assert "y" in r.extracted_text
+    assert r.extracted_text == "alpha beta gamma delta y tail words"
+    # but two struck runs separated only by a renderer separator still merge
+    r2 = extract_one(b"<p>alpha beta gamma delta <del>x</del> <del>z</del> tail words</p>")
+    assert r2.extracted_text == "alpha beta gamma delta tail words"
+
+
 def test_extract_boilerplate_gates():
     html = (
         b"<nav><ul><li><a href='/'>home</a></li></ul></nav>"

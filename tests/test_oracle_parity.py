@@ -29,6 +29,8 @@ def _norm_val(v):
     if isinstance(v, float):
         return f"{v:.6f}" if math.isfinite(v) else repr(v)
     if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:  # arrow ltz → naive UTC (session tz is UTC)
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return v.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
@@ -54,17 +56,43 @@ ORACLES = E.oracle_sql()
 QUERIES = E.queries()
 
 
+def _arrow_types(tbl):
+    """column-name → canonical arrow type string, for typed-hash parity.
+
+    The driver's value hash is type-sensitive (round 1: DuckDB HUGEINT /
+    DECIMAL(38,s) vs Spark BIGINT / DECIMAL(28,s) hashed differently despite
+    bit-identical values), so the local gate must compare arrow-level result
+    types too. Timestamp unit/tz is canonicalized: the driver's schema gate
+    accepted ntz-vs-us differences.
+    """
+    import pyarrow as pa
+
+    out = {}
+    for f in tbl.schema:
+        t = f.type
+        if pa.types.is_timestamp(t):
+            out[f.name.lower()] = "timestamp"
+        else:
+            out[f.name.lower()] = str(t)
+    return out
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(spark, ddb, name):
     sdf = QUERIES[name](spark, SF_DIR)
     s_cols = [c.lower() for c in sdf.columns]
-    s_rows = [tuple(r) for r in sdf.collect()]
+    s_arrow = sdf.toArrow()
+    s_rows = [tuple(r.values()) for r in s_arrow.to_pylist()]
 
     res = ddb.execute(ORACLES[name])
     d_cols = [d[0].lower() for d in res.description]
-    d_rows = res.fetchall()
+    d_arrow = res.arrow()
+    d_rows = [tuple(r.values()) for r in d_arrow.to_pylist()]
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column mismatch {s_cols} vs {d_cols}"
+    s_types = _arrow_types(s_arrow)
+    d_types = _arrow_types(d_arrow)
+    assert s_types == d_types, f"{name}: result-type drift {s_types} vs {d_types}"
     assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
     sn = _normalize(s_rows, s_cols)
     dn = _normalize(d_rows, d_cols)

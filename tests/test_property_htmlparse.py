@@ -7,7 +7,7 @@ Invariants that must hold for ARBITRARY input, not just fixtures:
 - extraction is a pure function (same bytes → same output).
 """
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from ocr_machine_spark.core.extract import extract_one
@@ -41,6 +41,9 @@ def html_soup(draw):
 
 @settings(max_examples=200, deadline=None)
 @given(html_soup())
+@example("<a'<p>")
+@example("<a'>'<p>")
+@example("<p><p><p><p><p><p><script><p><</p>")
 def test_parsers_agree_and_never_raise(html):
     fa = render(parse_html_fast(html))
     fb = render(parse_html_stdlib(html))
@@ -50,6 +53,8 @@ def test_parsers_agree_and_never_raise(html):
 
 @settings(max_examples=300, deadline=None)
 @given(html_soup())
+@example("<p>" * 19 + "<a>< <")  # bogus-'<' event segmentation (round-1 red)
+@example("< < a< b <")
 def test_single_pass_render_matches_tree(html):
     """The no-tree fast path must be event-for-event equal to the stdlib
     tree path: same raw text, same blocks, same relationships/cell fields."""
