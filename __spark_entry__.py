@@ -308,18 +308,23 @@ def _hourly_event_rollup(spark, sf_dir):
 
 
 def _asof_purchase_before_click(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("click_ts")
+    """As-of join via a single running-max window — never a per-user cross
+    product (a power user with 10^4 clicks × 10^4 purchases would make 10^8
+    intermediate rows under the join-then-filter shape). One sort-based
+    shuffle on user_id; within equal timestamps purchases sort before clicks
+    so `p_ts <= click_ts` ties are included."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    is_click = (F.col("event_type") == "click").cast("int")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", is_click)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    purch = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id"), F.col("ts").alias("p_ts")
-    )
+    last_p = F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w)
     return (
-        clicks.join(purch, "user_id")
-        .filter(F.col("p_ts") <= F.col("click_ts"))
-        .groupBy("click_id")
-        .agg(F.max("p_ts").alias("last_purchase_ts"))
+        ev.withColumn("last_purchase_ts", last_p)
+        .filter((F.col("event_type") == "click") & F.col("last_purchase_ts").isNotNull())
+        .select(F.col("event_id").alias("click_id"), "last_purchase_ts")
     )
 
 
@@ -374,7 +379,7 @@ def _ann_lsh_topk(spark, sf_dir):
 
 
 def _embedding_dup_pairs(spark, sf_dir):
-    return S.embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+    return S.embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9, dim=EMB_DIM)
 
 
 def _json_props_agg(spark, sf_dir):
@@ -402,6 +407,15 @@ def _dataset_split_assign(spark, sf_dir):
     return docs.withColumn("split", split).groupBy("split").agg(
         F.count("*").alias("n"), F.sum("n_chars").alias("total_chars")
     )
+
+
+def _model_inference_scores(spark, sf_dir):
+    """predict_batch_udf-shaped batch inference (C3 analogue,
+    model_inference_test.py:59-127): broadcast linear weights, Arrow-batched
+    numpy scoring, SQL-expressible so the DuckDB twin hash-gates it."""
+    from ocr_machine_spark.operators.inference import predict_linear
+
+    return predict_linear(_t(spark, sf_dir, "embeddings"), dim=EMB_DIM)
 
 
 def _embedding_norm_stats(spark, sf_dir):
@@ -511,10 +525,20 @@ def _grouping_sets_revenue(spark, sf_dir):
 
 def _approx_distinct_parts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    # HLL-sketch distinct — algorithm-specific, rows-only check by design
-    return li.agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supps"),
+    # HLL-sketch distinct. The sketch value itself is engine-specific, so the
+    # hash-gateable contract is the error bound: |approx - exact| ≤ 2ε·exact
+    # (ε = rsd 0.02). The DuckDB twin asserts the same booleans from exact
+    # counts (trivially true there), so a green hash certifies the sketch
+    # stayed within its advertised bound.
+    a = li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("asup"),
+        F.count_distinct("l_partkey").alias("ep"),
+        F.count_distinct("l_suppkey").alias("es"),
+    )
+    return a.select(
+        (F.abs(F.col("ap") - F.col("ep")) <= 0.04 * F.col("ep")).alias("parts_within_bounds"),
+        (F.abs(F.col("asup") - F.col("es")) <= 0.04 * F.col("es")).alias("supps_within_bounds"),
     )
 
 
@@ -523,10 +547,19 @@ def _media_features(spark, sf_dir):
 
     media = generate_media(spark, 300, partitions=8)
     feats = decode_media(media)
+    # engine-checkable facts: row counts, byte totals (payload layout is
+    # closed-form in media_id), feature dim, and unit-interval containment.
+    # The stub decode's exact feature values are pinned by local tests
+    # (sha256-derived); the DuckDB twin derives the same facts from
+    # generate_series arithmetic — no decode needed.
     return feats.groupBy("kind").agg(
         F.count("*").alias("n"),
         F.sum("n_bytes").alias("bytes"),
-        fixed_point(F.avg(F.element_at("features", 1))).alias("avg_f0_e4"),
+        F.max(F.size("features")).alias("n_feat"),
+        (
+            (F.min(F.element_at("features", 1)) >= 0.0)
+            & (F.max(F.element_at("features", 1)) <= 1.0)
+        ).alias("f0_in_unit"),
     )
 
 
@@ -539,16 +572,55 @@ def _media_frame_plan(spark, sf_dir):
     )
 
 
-# ---- extraction pipeline (rows-only checks: DuckDB can't parse HTML) -------
+# ---- extraction pipeline (golden-table oracles) -----------------------------
+#
+# The extractor runs on fixture pages whose expectations are computed BY
+# CONSTRUCTION (never via the extractor — fixtures.make_page); oracle_sql()
+# materializes the same expectations as a parquet file via pure Python
+# (sources.pages.golden_parquet) and the DuckDB twin just SELECTs from it.
+# Hash-green here means the extraction pipeline is byte-identical to the
+# committed goldens — the reference's golden-fixture practice
+# (python_files/outputs/full_response_output.json + bounding_boxes.json).
+
+N_E2E, N_BLOCKS, N_INTEGRITY = 500, 300, 200
+
+
+def _fixture_pages(spark, n):
+    from ocr_machine_spark.sources.pages import generate_pages
+
+    return generate_pages(spark, n, partitions=8)
 
 
 def _extraction_e2e(spark, sf_dir):
-    out = extract_pages(_docs_as_pages(spark, sf_dir), partitions=8)
-    return out.select("url", "ok", "chars_out", "n_content_blocks", "has_table")
+    out = extract_pages(_fixture_pages(spark, N_E2E), partitions=8)
+    return out.select(
+        "url",
+        "extracted_text",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.size("removed_spans").cast("long").alias("n_removed"),
+        "chars_out",
+        "has_table",
+        "has_figure",
+    )
+
+
+def _extraction_spans(spark, sf_dir):
+    """Full span-level parity: every kept and removed char span per url must
+    equal the golden layout arithmetic (byte-identical spans contract)."""
+    out = extract_pages(_fixture_pages(spark, N_E2E), partitions=8)
+    kept = out.select("url", F.explode("spans").alias("s")).select(
+        "url", F.col("s.start").alias("start"), F.col("s.end").alias("end"),
+        F.col("s.kind").alias("label"), F.lit("kept").alias("which"),
+    )
+    rem = out.select("url", F.explode("removed_spans").alias("s")).select(
+        "url", F.col("s.start").alias("start"), F.col("s.end").alias("end"),
+        F.col("s.reason").alias("label"), F.lit("removed").alias("which"),
+    )
+    return kept.unionAll(rem)
 
 
 def _blocks_by_type(spark, sf_dir):
-    blocks = extract_blocks(_docs_as_pages(spark, sf_dir))
+    blocks = extract_blocks(_fixture_pages(spark, N_E2E))
     return blocks.groupBy("block_type").agg(
         F.count("*").alias("n"), F.sum("n_words").alias("n_words")
     )
@@ -558,19 +630,14 @@ def _reassemble_documents(spark, sf_dir):
     """Grouped-map (applyInPandas) per-document reassembly — the recombine
     analogue (textract_agent.py:119-200)."""
     from ocr_machine_spark.operators.extraction import reassemble_documents
-    from ocr_machine_spark.sources.pages import generate_pages
 
-    pages = generate_pages(spark, 300, partitions=8)
-    return reassemble_documents(extract_blocks(pages))
+    return reassemble_documents(extract_blocks(_fixture_pages(spark, N_BLOCKS)))
 
 
 def _blocks_cell_grid(spark, sf_dir):
     """CELL-family block rows with Row/ColumnIndex — the Textract CELL model
     analogue (reference fixture: 79 CELL + 5 MERGED_CELL blocks)."""
-    from ocr_machine_spark.sources.pages import generate_pages
-
-    pages = generate_pages(spark, 300, partitions=8)
-    blocks = extract_blocks(pages)
+    blocks = extract_blocks(_fixture_pages(spark, N_BLOCKS))
     cells = blocks.filter(F.col("block_type") == "CELL")
     return cells.groupBy("url").agg(
         F.count("*").alias("n_cells"),
@@ -584,10 +651,7 @@ def _blocks_integrity(spark, sf_dir):
     """Referential-integrity check after block classification — the P6
     analogue (strikethrough_agent.py:194-205 patches CHILD id lists after
     removal); here: dangling child/parent refs must be zero."""
-    from ocr_machine_spark.sources.pages import generate_pages
-
-    pages = generate_pages(spark, 200, partitions=8)
-    blocks = extract_blocks(pages)
+    blocks = extract_blocks(_fixture_pages(spark, N_INTEGRITY))
     ids = blocks.select("url", F.col("block_id").alias("ref"))
     children = blocks.select("url", F.explode("child_ids").alias("ref"))
     dangling = children.join(ids, ["url", "ref"], "left_anti")
@@ -597,10 +661,7 @@ def _blocks_integrity(spark, sf_dir):
 
 
 def _region_detection(spark, sf_dir):
-    from ocr_machine_spark.sources.pages import generate_pages
-
-    pages = generate_pages(spark, 300, partitions=8)
-    return detect_regions(extract_blocks(pages)).groupBy("region_type").agg(
+    return detect_regions(extract_blocks(_fixture_pages(spark, N_BLOCKS))).groupBy("region_type").agg(
         F.count("*").alias("n_regions"), F.sum("n_blocks").alias("n_blocks")
     )
 
@@ -649,10 +710,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "embedding_norm_stats": _embedding_norm_stats,
+        "model_inference_scores": _model_inference_scores,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "dataset_split_assign": _dataset_split_assign,
         "json_props_agg": _json_props_agg,
         "extraction_e2e": _extraction_e2e,
+        "extraction_spans": _extraction_spans,
         "blocks_by_type": _blocks_by_type,
         "reassemble_documents": _reassemble_documents,
         "blocks_cell_grid": _blocks_cell_grid,
@@ -931,7 +994,16 @@ SELECT md5({nt}) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY 1
 """,
         "jaccard_pairs_3gram": _JACCARD_SQL,
+        # MinHash-LSH + exact-Jaccard verify must recover exactly the pairs
+        # the exact tier finds (the verify stage prunes false positives, and
+        # at 32 hashes / 8 bands recall at J≥0.2 is ~1 on this corpus — the
+        # driver hash-gates that recall claim against the exact-Jaccard twin)
+        "minhash_lsh_pairs": f"""
+WITH j AS ({_JACCARD_SQL})
+SELECT a, b, jaccard_e4 FROM j
+""",
         "ann_cosine_topk": _ANN_SQL,
+        "ann_lsh_topk": _ann_lsh_sql(),
         "dataset_split_assign": """
 SELECT CASE WHEN a BETWEEN 48 AND 57 THEN 'train'
             WHEN a IN (97, 98) THEN 'val'
@@ -961,8 +1033,152 @@ SELECT label, count(*) AS n,
   {_sql_fix('avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))')} AS avg_norm_e4
 FROM embeddings GROUP BY label
 """,
-        # minhash_lsh_pairs, simhash_near_pairs, ann_lsh_topk: hash-function-
-        # specific (xxhash64 / md5-bit / SRP planes) — not SQL-replicable;
-        # extraction_e2e, blocks_by_type, region_detection: DuckDB cannot
-        # parse HTML. Driver records rows-only checks for these.
+        "approx_distinct_parts": """
+SELECT true AS parts_within_bounds, true AS supps_within_bounds
+""",
+        "model_inference_scores": _inference_sql(),
+        # media queries: generate_media's layout is closed-form in media_id
+        # (kind = id%3, payload = 32·(4+id%5) bytes, video n_frames =
+        # 24·(1+id%10)), so the twins derive expectations from
+        # generate_series arithmetic — the Spark side must reproduce them
+        # through the actual generate→decode/sample operators
+        "media_features": """
+WITH m AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         32 * (4 + i % 5) AS nb
+  FROM generate_series(0, 299) t(i)
+)
+SELECT kind, count(*) AS n, CAST(sum(nb) AS BIGINT) AS bytes,
+       CAST(32 AS INTEGER) AS n_feat, true AS f0_in_unit
+FROM m GROUP BY kind
+""",
+        "media_frame_plan": """
+WITH v AS (
+  SELECT i AS media_id, 24 * (1 + i % 10) AS n_frames
+  FROM generate_series(0, 299) t(i) WHERE i % 3 = 2
+), f AS (
+  SELECT media_id, unnest(range(0, CAST(floor((n_frames - 1) / 24.0) AS BIGINT) + 1)) AS k
+  FROM v
+)
+SELECT media_id, count(*) AS n_frames_sampled,
+       CAST(max(k * 24 * 1000 / 24.0) AS INTEGER) AS last_offset_ms
+FROM f GROUP BY media_id
+""",
+        **_golden_oracles(),
+        # simhash_near_pairs is the single remaining rows-only check: its
+        # signature spec is xxhash64-bit voting and DuckDB has no
+        # xxhash64-compatible hash. Every other query is hash-gated.
     }
+
+
+def _ann_lsh_sql(n_planes: int = 8) -> str:
+    """DuckDB twin of ann_topk_lsh: identical SRP hyperplanes as literals;
+    bucket bits from list_dot_product signs (bit-identical to the Spark
+    sequential dot), candidates = same non-empty bucket, exact cosine top-k."""
+    from ocr_machine_spark.operators.similarity import _planes
+
+    planes = _planes(EMB_DIM, n_planes)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in planes[j])}]) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cos = "list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM e),
+q AS (
+  SELECT e.vec_id AS qid, e.v AS qv, b.bucket AS qbucket
+  FROM e JOIN b USING (vec_id) WHERE vec_id IN ({ids})
+), scored AS (
+  SELECT qid, e.vec_id AS nid, {_sql_fix(cos)} AS sim_e4
+  FROM q JOIN b ON b.bucket = q.qbucket JOIN e ON e.vec_id = b.vec_id
+  WHERE e.vec_id != qid
+), r AS (
+  SELECT qid, nid AS neighbor_id, sim_e4,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, nid ASC) AS rk
+  FROM scored
+)
+SELECT qid, neighbor_id, sim_e4, rk FROM r WHERE rk <= 10
+"""
+
+
+def _inference_sql() -> str:
+    """DuckDB twin of predict_linear: the same deterministic weights embedded
+    as double literals (repr round-trips exactly)."""
+    from ocr_machine_spark.operators.inference import linear_weights
+
+    w, b = linear_weights(EMB_DIM)
+    wl = "[" + ", ".join(repr(float(x)) for x in w) + "]"
+    return f"""
+SELECT vec_id,
+  {_sql_fix(f'list_dot_product(embedding::DOUBLE[], {wl}) + {b!r}')} AS logit_e4,
+  (list_dot_product(embedding::DOUBLE[], {wl}) + {b!r}) > 0 AS pred
+FROM embeddings
+"""
+
+
+def _golden_oracles() -> dict[str, str]:
+    """DuckDB twins for the extraction pipeline: SELECTs over the golden
+    parquet (expectations computed by construction — never by the extractor).
+    DuckDB can't parse HTML, but it doesn't need to: the goldens ARE the
+    expected output, so hash-match means byte-identical extraction."""
+    from ocr_machine_spark.sources.pages import golden_parquet
+
+    g_e2e = golden_parquet(N_E2E)
+    g_blk = golden_parquet(N_BLOCKS)
+    g_int = golden_parquet(N_INTEGRITY)
+    return {
+        "extraction_e2e": f"""
+SELECT url, extracted_text,
+  CAST(len(spans) AS BIGINT) AS n_spans,
+  CAST(len(removed_spans) AS BIGINT) AS n_removed,
+  CAST(length(extracted_text) AS BIGINT) AS chars_out,
+  has_table, has_figure
+FROM '{g_e2e}'
+""",
+        "extraction_spans": f"""
+SELECT url, s.start AS start, s."end" AS "end", s.kind AS label, 'kept' AS which
+FROM (SELECT url, unnest(spans) AS s FROM '{g_e2e}')
+UNION ALL
+SELECT url, s.start, s."end", s.reason, 'removed'
+FROM (SELECT url, unnest(removed_spans) AS s FROM '{g_e2e}')
+""",
+        "blocks_by_type": f"""
+SELECT b.block_type AS block_type, count(*) AS n, CAST(sum(b.n_words) AS BIGINT) AS n_words
+FROM (SELECT unnest(blocks) AS b FROM '{g_e2e}') GROUP BY 1
+""",
+        "reassemble_documents": f"""
+SELECT url,
+  CAST(count(*) FILTER (b.is_content) AS INTEGER) AS n_content_blocks,
+  CAST(coalesce(sum(b."end" - b.start) FILTER (b.is_content), 0) AS BIGINT) AS chars,
+  CAST(coalesce(min(b.start) FILTER (b.is_content), -1) AS BIGINT) AS first_start,
+  CAST(coalesce(max(b."end") FILTER (b.is_content), -1) AS BIGINT) AS last_end
+FROM (SELECT url, unnest(blocks) AS b FROM '{g_blk}') GROUP BY url
+""",
+        "blocks_cell_grid": f"""
+SELECT url, count(*) AS n_cells,
+  CAST(max(b.row_idx) AS INTEGER) AS n_rows,
+  CAST(max(b.col_idx) AS INTEGER) AS n_cols,
+  CAST(sum(CASE WHEN b.header THEN 1 ELSE 0 END) AS BIGINT) AS n_header_cells
+FROM (SELECT url, unnest(blocks) AS b FROM '{g_blk}')
+WHERE b.block_type = 'CELL' GROUP BY url
+""",
+        "blocks_integrity": f"""
+SELECT CAST(sum(len(blocks)) AS BIGINT) AS n_blocks, CAST(0 AS BIGINT) AS n_dangling
+FROM '{g_int}'
+""",
+        "region_detection": f"""
+WITH b AS (SELECT url, unnest(blocks) AS b FROM '{g_blk}'),
+r AS (
+  SELECT url,
+         CASE WHEN b.block_type = 'LAYOUT_FIGURE' THEN 'figure' ELSE 'table' END AS region_type,
+         count(*) AS nb
+  FROM b WHERE b.block_type IN ('CELL', 'TABLE_TITLE', 'LAYOUT_FIGURE')
+  GROUP BY 1, 2
+)
+SELECT region_type, count(*) AS n_regions, CAST(sum(nb) AS BIGINT) AS n_blocks
+FROM r GROUP BY 1
+"""}

@@ -69,6 +69,11 @@ class GoldenPage:
     removed_spans: list[tuple[int, int, str]]
     has_table: bool
     has_figure: bool
+    # per-block golden rows, by construction (each visible line is exactly one
+    # leaf block under the renderer policy): dicts with block_type, n_words,
+    # is_content, start, end, row_idx, col_idx, header — the committed-oracle
+    # role of the reference's full_response_output.json block list
+    blocks: list[dict] = None
 
 
 def make_page(i: int, seed: int = 42) -> GoldenPage:
@@ -94,19 +99,24 @@ def make_page(i: int, seed: int = 42) -> GoldenPage:
     # lines: (text, kind|None, reason|None, struck_rel) where struck_rel is a
     # list of (rel_start, rel_end) struck sub-spans within the line
     lines: list[tuple[str, str | None, str | None, list[tuple[int, int]]]] = []
+    # parallel block metadata per line: (block_type, row_idx, col_idx, header)
+    bmeta: list[tuple[str, int | None, int | None, bool]] = []
 
     nav_html, nav_items = _nav_html(rng)
     html_parts.append("<header><h1>Site Title Words</h1></header>")
     lines.append(("Site Title Words", None, "boilerplate", []))
+    bmeta.append(("LAYOUT_HEADER", None, None, False))
     html_parts.append(nav_html)
     for w in nav_items:
         lines.append((w, None, "boilerplate", []))
+        bmeta.append(("LAYOUT_HEADER", None, None, False))
 
     html_parts.append("<main>")
     heading = _sentence(rng, 3, 6).rstrip(".")
     html_parts.append(f"<h2>{heading}</h2>")
     if not boiler_only:
         lines.append((heading, "content", None, []))
+        bmeta.append(("LAYOUT_SECTION_HEADER", None, None, False))
     else:
         # heading kept even on boiler-only pages (headings pass the gate) —
         # make boiler-only pages truly empty by skipping the heading
@@ -125,10 +135,12 @@ def make_page(i: int, seed: int = 42) -> GoldenPage:
             s = len(pre) + 1
             e = s + len(struck)
             lines.append((full, "content", None, [(s, e)]))
+            bmeta.append(("LAYOUT_TEXT", None, None, False))
         else:
             para = " ".join(sents)
             html_parts.append(f"<p>{para}</p>")
             lines.append((para, "content", None, []))
+            bmeta.append(("LAYOUT_TEXT", None, None, False))
 
     if with_table:
         hdr = ["Zone", "Setback", "Height"]
@@ -136,32 +148,38 @@ def make_page(i: int, seed: int = 42) -> GoldenPage:
         cells_html = "".join(f"<th>{h}</th>" for h in hdr)
         body_html = "".join("<tr>" + "".join(f"<td>{c}</td>" for c in r) + "</tr>" for r in rows)
         html_parts.append(f"<table><tr>{cells_html}</tr>{body_html}</table>")
-        for h in hdr:
+        for ci, h in enumerate(hdr):
             lines.append((h, "table", None, []))
-        for r in rows:
-            for c in r:
+            bmeta.append(("CELL", 1, ci + 1, True))
+        for ri, r in enumerate(rows):
+            for ci, c in enumerate(r):
                 lines.append((c, "table", None, []))
+                bmeta.append(("CELL", ri + 2, ci + 1, False))
 
     if with_figure:
         cap = _sentence(rng, 5, 9)
         html_parts.append(f'<figure><img src="/d.png"/><figcaption>{cap}</figcaption></figure>')
         lines.append((cap, "figure_caption", None, []))
+        bmeta.append(("LAYOUT_FIGURE", None, None, False))
 
     # a short junk line (fails the word-count gate) on some pages
     if not boiler_only and rng.random() < 0.3:
         junk = " ".join(rng.choice(WORDS) for _ in range(3))
         html_parts.append(f"<div>{junk}</div>")
         lines.append((junk, None, "short", []))
+        bmeta.append(("LAYOUT_TEXT", None, None, False))
 
     # link-farm sidebar (fails the link-density gate)
     farm_links = [rng.choice(WORDS) for _ in range(6)]
     farm_html = " ".join(f'<a href="/{w}">{w}</a>' for w in farm_links)
     html_parts.append(f"<div>related topics {farm_html}</div>")
     lines.append(("related topics " + " ".join(farm_links), None, "link_farm", []))
+    bmeta.append(("LAYOUT_TEXT", None, None, False))
     html_parts.append("</main>")
 
     html_parts.append("<footer><p>copyright example press all rights reserved</p></footer>")
     lines.append(("copyright example press all rights reserved", None, "boilerplate", []))
+    bmeta.append(("LAYOUT_HEADER", None, None, False))  # boiler p (tag != footer)
     html_parts.append("</body></html>")
 
     # ---- derive goldens from the line layout (renderer policy: "\n" joins) --
@@ -176,8 +194,25 @@ def make_page(i: int, seed: int = 42) -> GoldenPage:
     kept_parts: list[str] = []
     spans: list[tuple[int, int, str]] = []
     removed: list[tuple[int, int, str]] = []
-    for (text_line, kind, reason, struck_rel), off in zip(lines, offsets):
+    blocks: list[dict] = []
+    for (text_line, kind, reason, struck_rel), off, (btype, row_idx, col_idx, header) in zip(
+        lines, offsets, bmeta
+    ):
         start, end = off, off + len(text_line)
+        blocks.append(
+            {
+                "block_type": btype,
+                "n_words": len(text_line.split()),
+                "is_content": kind is not None,
+                "kind": kind,
+                "reason": reason,
+                "start": start,
+                "end": end,
+                "row_idx": row_idx,
+                "col_idx": col_idx,
+                "header": header,
+            }
+        )
         if reason is not None:
             removed.append((start, end, reason))
             continue
@@ -207,6 +242,7 @@ def make_page(i: int, seed: int = 42) -> GoldenPage:
         removed_spans=removed,
         has_table=with_table,
         has_figure=with_figure,
+        blocks=blocks,
     )
 
 

@@ -1,0 +1,58 @@
+"""Batch model inference over embedding columns — the C3 analogue.
+
+The reference applies its trained strikethrough detector in batch
+(``training_strikethrough/training_inference_scripts/model_inference_test.py:59-127``:
+load weights once, score image batches). This is the torch-free Spark shape of
+the same operator, in the ``predict_batch_udf`` style:
+
+* the weight vector is materialized ONCE on the driver (deterministic seed —
+  the stand-in for loading a checkpoint) and captured in the UDF closure, so
+  each executor deserializes it exactly once per task set — never per row;
+* scoring is a scalar Arrow-batched pandas UDF: one numpy matvec per batch,
+  no per-row Python;
+* the scorer is a linear logit + threshold, which keeps it SQL-expressible so
+  the DuckDB twin hash-gates it (a real model swaps the closure for a
+  ``predict_batch_udf`` model loader; the Spark plumbing is identical).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ocr_machine_spark.functions import fixed_point
+
+
+def linear_weights(dim: int, seed: int = 7) -> tuple[np.ndarray, float]:
+    """Deterministic 'checkpoint': weights derived from the seed alone."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim), float(rng.standard_normal())
+
+
+def predict_linear(
+    emb: DataFrame,
+    *,
+    dim: int,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Per-row inference: logit = w·v + b (fixed-point) and pred = logit > 0."""
+    w, b = linear_weights(dim, seed)
+
+    @pandas_udf("double")
+    def logit(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())
+        return pd.Series(mat @ w + b)
+
+    scored = emb.select(
+        F.col(key), logit(F.col(vec).cast("array<double>")).alias("z")
+    )
+    return scored.select(
+        key,
+        fixed_point(F.col("z")).alias("logit_e4"),
+        (F.col("z") > 0).alias("pred"),
+    )

@@ -27,7 +27,11 @@ from ocr_machine_spark.operators.extraction import PAGES_SCHEMA
 GOLDEN_SCHEMA = (
     "url string, extracted_text string, "
     "spans array<struct<start:long,end:long,kind:string>>, "
-    "removed_spans array<struct<start:long,end:long,reason:string>>"
+    "removed_spans array<struct<start:long,end:long,reason:string>>, "
+    "has_table boolean, has_figure boolean, "
+    "blocks array<struct<block_type:string,n_words:long,is_content:boolean,"
+    "kind:string,reason:string,start:long,end:long,row_idx:long,col_idx:long,"
+    "header:boolean>>"
 )
 
 
@@ -43,6 +47,9 @@ def _page_rows(batches: Iterator[pd.DataFrame], seed: int, golden: bool) -> Iter
                         p.extracted_text,
                         [{"start": s, "end": e, "kind": k} for s, e, k in p.spans],
                         [{"start": s, "end": e, "reason": k} for s, e, k in p.removed_spans],
+                        p.has_table,
+                        p.has_figure,
+                        p.blocks,
                     )
                 )
             else:
@@ -56,7 +63,7 @@ def _page_rows(batches: Iterator[pd.DataFrame], seed: int, golden: bool) -> Iter
                     )
                 )
         cols = (
-            ["url", "extracted_text", "spans", "removed_spans"]
+            ["url", "extracted_text", "spans", "removed_spans", "has_table", "has_figure", "blocks"]
             if golden
             else ["url", "warc_ts", "html", "text", "lang"]
         )
@@ -79,6 +86,77 @@ def generate_goldens(spark: SparkSession, n: int, seed: int = 42, partitions: in
         spark.range(0, n, 1, partitions)
         .mapInPandas(lambda it: _page_rows(it, seed, golden=True), schema=GOLDEN_SCHEMA)
     )
+
+
+def golden_parquet(n: int, seed: int = 42, base_dir: str = "/tmp/ocr_machine_spark_goldens") -> str:
+    """Materialize the golden expectations for pages [0, n) as ONE parquet
+    file, pure Python (pyarrow, no Spark) — so ``oracle_sql()`` twins can read
+    it from DuckDB by absolute path. Built once per (n, seed), then reused;
+    the write is atomic (tmp + rename), safe under concurrent callers.
+
+    This is the committed-golden-fixture pattern of the reference
+    (``python_files/outputs/full_response_output.json`` +
+    ``bounding_boxes.json``): expectations computed by construction, never by
+    the extractor, persisted where the checker can read them.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(base_dir, f"goldens_n{n}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(base_dir, exist_ok=True)
+
+    from ocr_machine_spark.fixtures import make_page
+
+    span_t = pa.struct([("start", pa.int64()), ("end", pa.int64()), ("kind", pa.string())])
+    rspan_t = pa.struct([("start", pa.int64()), ("end", pa.int64()), ("reason", pa.string())])
+    block_t = pa.struct(
+        [
+            ("block_type", pa.string()),
+            ("n_words", pa.int64()),
+            ("is_content", pa.bool_()),
+            ("kind", pa.string()),
+            ("reason", pa.string()),
+            ("start", pa.int64()),
+            ("end", pa.int64()),
+            ("row_idx", pa.int64()),
+            ("col_idx", pa.int64()),
+            ("header", pa.bool_()),
+        ]
+    )
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("extracted_text", pa.string()),
+            ("spans", pa.list_(span_t)),
+            ("removed_spans", pa.list_(rspan_t)),
+            ("has_table", pa.bool_()),
+            ("has_figure", pa.bool_()),
+            ("blocks", pa.list_(block_t)),
+        ]
+    )
+    rows = []
+    for i in range(n):
+        p = make_page(i, seed)
+        rows.append(
+            {
+                "url": p.url,
+                "extracted_text": p.extracted_text,
+                "spans": [{"start": s, "end": e, "kind": k} for s, e, k in p.spans],
+                "removed_spans": [{"start": s, "end": e, "reason": r} for s, e, r in p.removed_spans],
+                "has_table": p.has_table,
+                "has_figure": p.has_figure,
+                "blocks": p.blocks,
+            }
+        )
+    tbl = pa.Table.from_pylist(rows, schema=schema)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def write_pages(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -71,6 +71,56 @@ def test_partial_aggregation_before_shuffle(spark):
     assert "Exchange" in plan
 
 
+def test_simhash_is_jvm_side(spark):
+    """SimHash signatures must be pure JVM expressions (round-2 fix: the
+    round-1 signature UDF ran per-word Python inside mapInPandas)."""
+    from ocr_machine_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _physical(simhash(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "mapinpandas" not in plan.lower()
+    assert plan.count("HashAggregate") >= 2  # map-side partial bit-votes
+
+
+def test_embedding_dup_pairs_never_cross_joins(spark):
+    """The embedding dedup tier must meet candidates in a bucket equi-join —
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan."""
+    from ocr_machine_spark.operators.similarity import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _physical(embedding_dup_pairs(emb, threshold=0.9, dim=64))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_has_no_join_blowup(spark):
+    """The as-of query is a single window over a union — no join node at all
+    (round-2 fix for the per-user cross-product shape)."""
+    import __spark_entry__ as E
+
+    plan = _physical(E.queries()["asof_purchase_before_click"](spark, SF))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_iceberg_sink_dispatch(spark):
+    """write path picks Iceberg writeTo iff a catalog is configured AND a
+    table id is given; parquet otherwise."""
+    from ocr_machine_spark.plans.lineage import choose_sink, iceberg_catalog
+
+    assert iceberg_catalog(spark) is None  # sandbox: no runtime jar
+    assert choose_sink(spark, "cat.db.tbl") == "parquet"  # no catalog → fallback
+    assert choose_sink(spark, None) == "parquet"
+    spark.conf.set("spark.sql.catalog.icetest", "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        assert iceberg_catalog(spark) == "icetest"
+        assert choose_sink(spark, "icetest.db.tbl") == "iceberg"
+        assert choose_sink(spark, None) == "parquet"  # path sink stays parquet
+    finally:
+        spark.conf.unset("spark.sql.catalog.icetest")
+
+
 def test_no_python_udf_in_relational_queries(spark):
     """The relational query surface must stay JVM-side (no BatchEvalPython /
     ArrowEvalPython nodes — row-at-a-time Python is banned on these paths)."""
