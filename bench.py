@@ -36,6 +36,9 @@ HEADLINE = [
     "ann_cosine_topk",
     "doc_lang_guess",
     "doc_quality",
+    # round 2 additions
+    "embedding_dup_pairs",
+    "model_inference_scores",
 ]
 
 

@@ -190,16 +190,26 @@ def simhash(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFra
         F.explode(F.array_distinct(F.split(norm_text(F.col(text)), " "))).alias("w"),
     ).filter(F.col("w") != "")
     h = F.xxhash64("w")
-    one = F.lit(1).cast("long")
+    # lane packing: sum m accumulates bits m and m+32 of every word hash in
+    # one long (32-bit lanes at bit 0 and bit 32), halving the aggregate
+    # count to 32. Lane overflow needs 2^32 distinct words in one doc —
+    # impossible (a doc's distinct vocabulary is bounded far below that).
+    lane_mask = F.lit((1 << 32) | 1).cast("long")
     votes = w.groupBy("doc_id").agg(
         F.count("*").alias("n"),
-        *[F.sum(F.shiftright(h, j).bitwiseAND(one)).alias(f"c{j}") for j in range(64)],
+        *[F.sum(F.shiftright(h, m).bitwiseAND(lane_mask)).alias(f"s{m}") for m in range(32)],
     )
+    lo32 = F.lit(0xFFFFFFFF).cast("long")
     sim = F.lit(0).cast("long")
     for j in range(64):
+        cnt = (
+            F.col(f"s{j}").bitwiseAND(lo32)
+            if j < 32
+            else F.shiftright(F.col(f"s{j - 32}"), 32)
+        )
         bit = F.lit(-(2**63) if j == 63 else (1 << j)).cast("long")
         sim = sim.bitwiseOR(
-            F.when(F.col(f"c{j}") * 2 > F.col("n"), bit).otherwise(F.lit(0).cast("long"))
+            F.when(cnt * 2 > F.col("n"), bit).otherwise(F.lit(0).cast("long"))
         )
     sigs = votes.select("doc_id", sim.alias("simhash"))
     # docs with no words (null/empty text) sign as 0 — restore them
