@@ -378,6 +378,10 @@ def _ann_lsh_topk(spark, sf_dir):
     return S.ann_topk_lsh(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, dim=EMB_DIM, n_planes=8)
 
 
+def _ann_ivf_topk(spark, sf_dir):
+    return S.ann_topk_ivf(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, n_cells=16, n_probe=4)
+
+
 def _embedding_dup_pairs(spark, sf_dir):
     return S.embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9, dim=EMB_DIM)
 
@@ -709,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _simhash_near_pairs,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "embedding_norm_stats": _embedding_norm_stats,
         "model_inference_scores": _model_inference_scores,
         "embedding_dup_pairs": _embedding_dup_pairs,
@@ -1004,6 +1009,40 @@ SELECT a, b, jaccard_e4 FROM j
 """,
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
+        # IVF twin: same data-derived centroids (vec_id < n_cells); cell
+        # assignment and probing are rank-1 / rank<=n_probe over identical
+        # sequential dots, so the argmax is bit-identical cross-engine
+        "ann_ivf_topk": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id, cid,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC,
+                    cid ASC
+         ) AS crk
+  FROM e, c
+),
+cell AS (SELECT vec_id, cid AS cell FROM asg WHERE crk = 1),
+q AS (
+  SELECT a.vec_id AS qid, e.v AS qv, a.cid AS qcell
+  FROM asg a JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id IN ({', '.join(str(i) for i in ANN_QUERY_IDS)}) AND a.crk <= 4
+),
+scored AS (
+  SELECT qid, e.vec_id AS nid,
+         {_sql_fix('list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))')} AS sim_e4
+  FROM q JOIN cell ON cell.cell = q.qcell JOIN e ON e.vec_id = cell.vec_id
+  WHERE e.vec_id != qid
+),
+r AS (
+  SELECT qid, nid AS neighbor_id, sim_e4,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, nid ASC) AS rk
+  FROM scored
+)
+SELECT qid, neighbor_id, sim_e4, rk FROM r WHERE rk <= 10
+""",
         "dataset_split_assign": """
 SELECT CASE WHEN a BETWEEN 48 AND 57 THEN 'train'
             WHEN a IN (97, 98) THEN 'val'

@@ -193,6 +193,83 @@ def srp_band_buckets(
     return emb.select(key, vec).mapInPandas(gen, schema="vec_id long, band long, bucket long")
 
 
+def ann_topk_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest centroid
+    cell, probe the query's ``n_probe`` closest cells, exact cosine + top-k
+    inside the probed cells only.
+
+    The coarse quantizer is deterministic and data-derived: centroids are the
+    vectors with the ``n_cells`` smallest ids (the seeded stand-in for a
+    k-means fit — swapping in trained centroids changes only this fetch).
+    Centroids are collected once (n_cells rows — model parameters, not data)
+    and inlined as literals, so cell assignment is a pure JVM expression and
+    the whole operator is SQL-replicable (sequential dots ⇒ bit-identical
+    argmax on both engines).
+
+    Scale shape: assignment is per-row compute (no shuffle); the search is an
+    equi-join on cell id — at 10^12 rows each query touches n_probe cells,
+    never the full table. Skewed cells (real corpora cluster) are the known
+    IVF trade — mitigate with more cells or per-cell salting at re-rank."""
+    from pyspark.sql.window import Window
+
+    cents = sorted(
+        (r[0], list(r[1]))
+        for r in emb.filter(F.col(key) < n_cells)
+        .select(F.col(key), F.col(vec).cast("array<double>"))
+        .collect()
+    )
+    v = F.col(vec).cast("array<double>")
+
+    def cell_of(vcol):
+        # (sim, -cid) struct max ≡ ORDER BY sim DESC, cid ASC LIMIT 1
+        scored = [
+            F.struct(
+                cosine(vcol, F.array(*[F.lit(x) for x in cvec])).alias("sim"),
+                F.lit(-cid).alias("negid"),
+            )
+            for cid, cvec in cents
+        ]
+        return -F.array_max(F.array(*scored))["negid"]
+
+    base = emb.select(F.col(key).alias("nid"), v.alias("v")).withColumn("cell", cell_of(F.col("v")))
+    probe_structs = [
+        F.struct(
+            cosine(F.col("qv"), F.array(*[F.lit(x) for x in cvec])).alias("sim"),
+            F.lit(-cid).alias("negid"),
+        )
+        for cid, cvec in cents
+    ]
+    q = (
+        emb.filter(F.col(key).isin(query_ids))
+        .select(F.col(key).alias("qid"), v.alias("qv"))
+        .withColumn(
+            "probes",
+            F.slice(F.reverse(F.array_sort(F.array(*probe_structs))), 1, n_probe),
+        )
+        .select("qid", "qv", F.explode("probes").alias("p"))
+        .select("qid", "qv", (-F.col("p.negid")).alias("qcell"))
+    )
+    scored = (
+        base.join(F.broadcast(q), (F.col("cell") == F.col("qcell")) & (F.col("nid") != F.col("qid")))
+        .withColumn("sim_e4", fixed_point(cosine(F.col("qv"), F.col("v"))))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim_e4").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("qid", F.col("nid").alias("neighbor_id"), "sim_e4", "rk")
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame,
     query_ids: list[int],
