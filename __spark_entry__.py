@@ -664,6 +664,12 @@ def _blocks_integrity(spark, sf_dir):
     )
 
 
+def _page_profile(spark, sf_dir):
+    from ocr_machine_spark.operators.extraction import page_profile
+
+    return page_profile(extract_blocks(_fixture_pages(spark, N_BLOCKS)))
+
+
 def _region_detection(spark, sf_dir):
     return detect_regions(extract_blocks(_fixture_pages(spark, N_BLOCKS))).groupBy("region_type").agg(
         F.count("*").alias("n_regions"), F.sum("n_blocks").alias("n_blocks")
@@ -726,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocks_cell_grid": _blocks_cell_grid,
         "blocks_integrity": _blocks_integrity,
         "region_detection": _region_detection,
+        "page_profile": _page_profile,
     }
 
 
@@ -987,7 +994,9 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
 """,
         "doc_token_stats": f"""
-SELECT doc_id, len(string_split({nt}, ' ')) AS n_tokens, length({nt}) AS n_chars_norm,
+SELECT doc_id, len(string_split({nt}, ' ')) AS n_tokens,
+  CAST(len(regexp_extract_all({nt}, '{T.BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+  length({nt}) AS n_chars_norm,
   {_sql_fix(f"length({nt}) / len(string_split({nt}, ' '))")} AS avg_token_len_e4
 FROM documents
 """,
@@ -1208,6 +1217,18 @@ WHERE b.block_type = 'CELL' GROUP BY url
         "blocks_integrity": f"""
 SELECT CAST(sum(len(blocks)) AS BIGINT) AS n_blocks, CAST(0 AS BIGINT) AS n_dangling
 FROM '{g_int}'
+""",
+        "page_profile": f"""
+SELECT url, count(*) AS n_blocks,
+  CAST(sum(CASE WHEN b.is_content THEN 1 ELSE 0 END) AS BIGINT) AS n_content,
+  {', '.join(
+      f"CAST(sum(CASE WHEN b.block_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t.lower()}"
+      for t in ["LAYOUT_TEXT", "LAYOUT_HEADER", "LAYOUT_SECTION_HEADER", "LAYOUT_FIGURE", "CELL"]
+  )},
+  CAST(floor(
+    (CAST(sum(CASE WHEN b.is_content THEN b.n_words ELSE 0 END) AS BIGINT)
+     / CAST(sum(b.n_words) AS BIGINT)) * 10000.0 + 0.5) AS BIGINT) AS content_word_share_e4
+FROM (SELECT url, unnest(blocks) AS b FROM '{g_blk}') GROUP BY url
 """,
         "region_detection": f"""
 WITH b AS (SELECT url, unnest(blocks) AS b FROM '{g_blk}'),

@@ -44,6 +44,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--output-table",
+        default=None,
+        help="Iceberg table id (catalog.db.table); used iff an Iceberg "
+        "catalog is configured on the session, else parquet under --output",
+    )
     args = ap.parse_args(argv)
 
     from ocr_machine_spark.plans.lineage import run_extraction
@@ -59,6 +65,7 @@ def main(argv: list[str] | None = None) -> None:
         n_buckets=args.buckets,
         partitions=args.partitions,
         input_split=args.input,
+        table=args.output_table,
     )
     print(json.dumps(stats))
     spark.stop()

@@ -258,6 +258,31 @@ def reassemble_documents(blocks: DataFrame) -> DataFrame:
     return blocks.groupBy("url").applyInPandas(assemble, schema=REASSEMBLE_SCHEMA)
 
 
+PROFILE_TYPES = ["LAYOUT_TEXT", "LAYOUT_HEADER", "LAYOUT_SECTION_HEADER", "LAYOUT_FIGURE", "CELL"]
+
+
+def page_profile(blocks: DataFrame) -> DataFrame:
+    """Per-page layout enrichment — the C5 analogue (the reference enriches
+    each page with orientation/rotation metadata before routing,
+    ``python_files/table_detector_agent.py:64-118``); here the enrichment is
+    the block-type histogram plus the content-word share, computed
+    relationally from the block table. Pure JVM aggregation, one shuffle on
+    url."""
+    word_sum = F.sum("n_words").cast("long")
+    content_words = F.sum(F.when(F.col("is_content"), F.col("n_words")).otherwise(0)).cast("long")
+    return blocks.groupBy("url").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.col("is_content").cast("int")).alias("n_content"),
+        *[
+            F.sum((F.col("block_type") == t).cast("int")).alias(f"n_{t.lower()}")
+            for t in PROFILE_TYPES
+        ],
+        F.floor(
+            (content_words / word_sum) * F.lit(10000.0) + F.lit(0.5)
+        ).cast("long").alias("content_word_share_e4"),
+    )
+
+
 def detect_regions(blocks: DataFrame) -> DataFrame:
     """Table/figure region rows per page — the page-classifier analogue
     (``python_files/table_detector_agent.py:140-158`` roll-up), computed

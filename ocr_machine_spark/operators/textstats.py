@@ -33,13 +33,22 @@ def _count_word(ws_col, word: str):
     return F.size(F.filter(ws_col, lambda x: x == F.lit(word))).cast("long")
 
 
+# BPE-ish pre-tokenizer (GPT-2-style word/digit/punct split, simplified to a
+# pattern both Spark (Java regex) and DuckDB (RE2) interpret identically):
+# letter runs, single digits, single non-alnum-non-space marks.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
-    """Per-document token statistics (whitespace tokenizer)."""
+    """Per-document token statistics: whitespace tokenizer + BPE-ish regex
+    pre-tokenizer (task brief: 'token counting (whitespace + a BPE-ish
+    regex)'). Both are JVM regex expressions — no Python."""
     t = norm_text("text")
     toks = token_count(t)
     return docs.select(
         "doc_id",
         toks.alias("n_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0)).cast("long").alias("n_bpe_tokens"),
         F.length(t).cast("long").alias("n_chars_norm"),
         fixed_point(F.length(t) / toks).alias("avg_token_len_e4"),
     )

@@ -108,6 +108,7 @@ def run_extraction(
     partitions: int | None = None,
     input_split: str = "",
     max_buckets_this_run: int | None = None,
+    table: str | None = None,
 ) -> dict:
     """Extract all not-yet-committed buckets of ``pages`` into ``out_dir``.
 
@@ -130,7 +131,7 @@ def run_extraction(
     # 1) data first — bucket-replacing write (Iceberg snapshot commit when a
     # catalog is configured; parquet dynamic overwrite otherwise), so a
     # re-run of a crashed bucket replaces its orphans
-    write_bucketed(out, spark, path=_data_path(out_dir))
+    write_bucketed(out, spark, path=_data_path(out_dir), table=table)
 
     # 2) lineage from what's actually on disk (auditable), committed last
     written = spark.read.parquet(_data_path(out_dir))

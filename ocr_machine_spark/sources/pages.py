@@ -88,6 +88,24 @@ def generate_goldens(spark: SparkSession, n: int, seed: int = 42, partitions: in
     )
 
 
+def degrade_pages(pages: DataFrame, min_bytes: int = 40) -> DataFrame:
+    """Deterministic page degrader — the G2 analogue of the reference's
+    scanner-artifact simulator (``fake_scan.py``'s blur/skew/noise ladder,
+    re-expressed for web bytes): every page is truncated mid-markup to a
+    url-keyed pseudo-random length, yielding unclosed tags, split entities
+    and half UTF-8 sequences. Pure JVM expressions (substring on binary).
+
+    Contract under degradation: extraction stays TOTAL — one output row per
+    input row, ``ok=false`` with the error recorded rather than an exception
+    (tests/test_spark_extraction.py asserts it on this operator's output).
+    """
+    from pyspark.sql import functions as F  # local: keep module header slim
+
+    n_bytes = F.length(F.col("html"))
+    cut = min_bytes + F.pmod(F.xxhash64(F.col("url")), F.greatest(n_bytes - min_bytes, F.lit(1)))
+    return pages.withColumn("html", F.col("html").substr(F.lit(1), cut.cast("int")))
+
+
 def golden_parquet(n: int, seed: int = 42, base_dir: str = "/tmp/ocr_machine_spark_goldens") -> str:
     """Materialize the golden expectations for pages [0, n) as ONE parquet
     file, pure Python (pyarrow, no Spark) — so ``oracle_sql()`` twins can read

@@ -50,6 +50,29 @@ def test_extraction_keeps_failed_rows(spark):
     assert all(not r["ok"] and r["error"] for r in out)
 
 
+def test_extraction_total_on_degraded_pages(spark, pages):
+    """G2 degrader contract: mid-markup truncation (unclosed tags, split
+    entities, half UTF-8 sequences) never breaks totality — one output row
+    per input, never an exception, and re-runs stay byte-identical."""
+    from ocr_machine_spark.sources.pages import degrade_pages
+
+    deg = degrade_pages(pages)
+    out = extract_pages(deg, partitions=3).cache()
+    assert out.count() == pages.count()
+    # truncated pages still mostly parse; failures (if any) carry errors
+    bad = out.filter(~F.col("ok"))
+    assert bad.filter(F.col("error").isNull()).count() == 0
+    # determinism under a different partitioning
+    again = extract_pages(degrade_pages(pages), partitions=5).select(
+        "url", F.col("extracted_text").alias("t2")
+    )
+    diff = out.join(again, "url").filter(
+        F.coalesce(F.col("extracted_text"), F.lit("∅")) != F.coalesce(F.col("t2"), F.lit("∅"))
+    ).count()
+    assert diff == 0
+    out.unpersist()
+
+
 def test_blocks_and_regions(spark, pages):
     blocks = extract_blocks(pages).cache()
     assert blocks.filter(F.col("block_id").isNull()).count() == 0
