@@ -664,6 +664,37 @@ def _blocks_integrity(spark, sf_dir):
     )
 
 
+def _streaming_host_totals(spark, sf_dir):
+    """Custom stateful streaming (applyInPandasWithState): the stream runs to
+    completion inside the callable and the FINAL state table is returned as a
+    batch frame — so the driver can hash-gate a streaming operator against
+    the golden-derived per-host expectations."""
+    import tempfile
+
+    from ocr_machine_spark.sources.pages import generate_pages
+    from ocr_machine_spark.streaming.extract_stream import host_crawl_totals_stream
+
+    tmp = tempfile.mkdtemp(prefix="stream_host_totals_")
+    pages_path = f"{tmp}/pages"
+    generate_pages(spark, N_BLOCKS, partitions=4).write.parquet(pages_path)
+    out = host_crawl_totals_stream(spark, pages_path)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_host_totals")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table("stream_host_totals")
+        .groupBy("host")
+        .agg(F.max("n_pages").alias("n_pages"), F.max("bytes_html").alias("bytes_html"))
+    )
+
+
 def _page_profile(spark, sf_dir):
     from ocr_machine_spark.operators.extraction import page_profile
 
@@ -733,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocks_integrity": _blocks_integrity,
         "region_detection": _region_detection,
         "page_profile": _page_profile,
+        "streaming_host_totals": _streaming_host_totals,
     }
 
 
@@ -1217,6 +1249,11 @@ WHERE b.block_type = 'CELL' GROUP BY url
         "blocks_integrity": f"""
 SELECT CAST(sum(len(blocks)) AS BIGINT) AS n_blocks, CAST(0 AS BIGINT) AS n_dangling
 FROM '{g_int}'
+""",
+        "streaming_host_totals": f"""
+SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+       count(*) AS n_pages, CAST(sum(n_html_bytes) AS BIGINT) AS bytes_html
+FROM '{g_blk}' GROUP BY 1
 """,
         "page_profile": f"""
 SELECT url, count(*) AS n_blocks,

@@ -122,7 +122,7 @@ def golden_parquet(n: int, seed: int = 42, base_dir: str = "/tmp/ocr_machine_spa
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = os.path.join(base_dir, f"goldens_n{n}_s{seed}.parquet")
+    path = os.path.join(base_dir, f"goldens_v2_n{n}_s{seed}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(base_dir, exist_ok=True)
@@ -148,6 +148,7 @@ def golden_parquet(n: int, seed: int = 42, base_dir: str = "/tmp/ocr_machine_spa
     schema = pa.schema(
         [
             ("url", pa.string()),
+            ("n_html_bytes", pa.int64()),
             ("extracted_text", pa.string()),
             ("spans", pa.list_(span_t)),
             ("removed_spans", pa.list_(rspan_t)),
@@ -162,6 +163,7 @@ def golden_parquet(n: int, seed: int = 42, base_dir: str = "/tmp/ocr_machine_spa
         rows.append(
             {
                 "url": p.url,
+                "n_html_bytes": len(p.html),
                 "extracted_text": p.extracted_text,
                 "spans": [{"start": s, "end": e, "kind": k} for s, e, k in p.spans],
                 "removed_spans": [{"start": s, "end": e, "reason": r} for s, e, r in p.removed_spans],

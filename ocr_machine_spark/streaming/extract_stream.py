@@ -34,6 +34,49 @@ def extract_pages_stream(
     return extract_pages(stream)
 
 
+HOST_STATE_SCHEMA = "n_pages long, bytes_html long"
+HOST_OUT_SCHEMA = "host string, n_pages long, bytes_html long"
+
+
+def host_crawl_totals_stream(spark: SparkSession, input_path: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    running per-host crawl totals across triggers — the continuous-ingest
+    bookkeeping a 10^12-page crawl needs (which hosts are hot, how many bytes
+    they shipped so far). State per host is two longs; each trigger folds its
+    Arrow batches into the state and emits the updated row (output mode
+    ``update``). Deterministic: totals depend only on the set of files
+    processed, never on trigger boundaries."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_path)
+    hosts = stream.select(
+        F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host"),
+        F.length("html").alias("nb"),
+    )
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n = 0
+        b = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            b += int(pdf["nb"].sum())
+        if state.exists:
+            pn, pb = state.get
+            n += pn
+            b += pb
+        state.update((n, b))
+        yield pd.DataFrame({"host": [key[0]], "n_pages": [n], "bytes_html": [b]})
+
+    return hosts.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=HOST_OUT_SCHEMA,
+        stateStructType=HOST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_page_counts(
     spark: SparkSession, input_path: str, *, window: str = "1 hour", late: str = "2 hours"
 ) -> DataFrame:

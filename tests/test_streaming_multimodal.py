@@ -7,6 +7,7 @@ from ocr_machine_spark.operators.extraction import extract_pages
 from ocr_machine_spark.operators.multimodal import decode_media, generate_media, sample_frames
 from ocr_machine_spark.sources.pages import generate_pages
 from ocr_machine_spark.streaming import extract_pages_stream, windowed_page_counts
+from ocr_machine_spark.streaming.extract_stream import host_crawl_totals_stream
 
 N = 120
 
@@ -46,6 +47,35 @@ def test_windowed_counts_complete(spark, pages_dir):
     rows = spark.table("win_counts")
     assert rows.agg(F.sum("n_pages")).collect()[0][0] == N
     assert rows.filter(F.col("bytes_html") <= 0).count() == 0
+
+
+def test_stateful_host_totals_match_batch(spark, pages_dir):
+    """applyInPandasWithState running totals must converge to the batch
+    per-host aggregate regardless of trigger boundaries (state folds are
+    order-insensitive sums)."""
+    out = host_crawl_totals_stream(spark, pages_dir)
+    q = out.writeStream.format("memory").queryName("host_totals").outputMode("update").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # 'update' mode may emit a row per trigger — the LAST row per host is the
+    # final state; with a single processAllAvailable pass there is one batch,
+    # but group by host + max to stay robust
+    streamed = (
+        spark.table("host_totals")
+        .groupBy("host")
+        .agg(F.max("n_pages").alias("n_pages"), F.max("bytes_html").alias("bytes_html"))
+    )
+    batch = (
+        spark.read.parquet(pages_dir)
+        .select(F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host"), F.length("html").alias("nb"))
+        .groupBy("host")
+        .agg(F.count("*").alias("b_n"), F.sum("nb").alias("b_bytes"))
+    )
+    j = streamed.join(batch, "host", "full_outer")
+    assert j.filter(F.col("n_pages").isNull() | F.col("b_n").isNull()).count() == 0
+    assert j.filter((F.col("n_pages") != F.col("b_n")) | (F.col("bytes_html") != F.col("b_bytes"))).count() == 0
 
 
 def test_media_decode_stub_deterministic(spark):
