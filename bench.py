@@ -77,7 +77,11 @@ def main() -> None:
         generate_pages(spark, EXTRACT_PAGES, partitions=64).write.parquet(pages_path)
         pages = spark.read.parquet(pages_path)
         t0 = time.perf_counter()
-        out = extract_pages(pages, partitions=64)
+        # scan-aligned (no pre-shuffle): parquet scan splits are byte-uniform,
+        # and per-row extraction has no key skew — the salted repartition is
+        # for the KEYED stages (reassembly/host aggs), not the map. Measured
+        # 2-3x faster than shuffling first at this scale.
+        out = extract_pages(pages)
         stats = out.groupBy().agg(
             {"bytes_html": "sum", "chars_out": "sum", "url": "count"}
         ).collect()[0]

@@ -12,9 +12,15 @@ Scale notes (100 TB / 10^12 rows):
 * input is pruned to ``(url, html)`` before the UDF — Catalyst pushes the
   projection into the parquet/Iceberg scan so ``text`` (often as large as
   ``html``) is never read;
-* ``repartition_salted`` spreads skewed hosts across tasks before the UDF —
-  the salt affects placement only, never content, so per-url output stays
-  byte-identical under any partitioning (SURVEY.md §7 "hard parts: skew");
+* the default extraction path is SHUFFLE-FREE: parquet/Iceberg scan splits
+  are byte-uniform (``maxPartitionBytes``), and a per-row map has no key
+  skew, so ``mapInPandas`` runs directly on the scan partitions. Pass
+  ``partitions=`` to opt into ``repartition_salted`` when the input layout
+  genuinely needs re-spreading (e.g. few giant files); the salt affects
+  placement only, never content, so per-url output stays byte-identical
+  under any partitioning (SURVEY.md §7 "hard parts: skew"). Skew handling
+  proper lives on the KEYED stages (reassembly by url, host aggregations),
+  where ``repartition_salted`` is the tool;
 * blocks are exploded only by the analysis layer (``extract_blocks``), never
   on the main extraction path — at 10^12 rows a block explode is ~100× row
   amplification.

@@ -121,6 +121,29 @@ def test_iceberg_sink_dispatch(spark):
         spark.conf.unset("spark.sql.catalog.icetest")
 
 
+def test_no_cross_join_in_any_query(spark):
+    """No queries() plan may contain a CartesianProduct or
+    BroadcastNestedLoopJoin — the 100 TB kill-switch check across the whole
+    driver contract (a theta join that slips into a cross product is the
+    single fastest way to die at scale)."""
+    import __spark_entry__ as E
+
+    # a nested-loop join is legitimate ONLY against a provably tiny side:
+    # - ann_cosine_topk: brute-force baseline BY DESIGN — BNLJ vs a 5-row
+    #   broadcast query side; output is n×5, the scan streams once
+    # - blocks_integrity: crossJoin of two 1-row global aggregates
+    TINY_SIDE_OK = {"ann_cosine_topk", "blocks_integrity"}
+
+    for name, fn in E.queries().items():
+        if name == "streaming_host_totals":
+            continue  # executes a stream on call; covered by streaming tests
+        plan = _physical(fn(spark, SF))
+        if name in TINY_SIDE_OK:
+            continue
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_no_python_udf_in_relational_queries(spark):
     """The relational query surface must stay JVM-side (no BatchEvalPython /
     ArrowEvalPython nodes — row-at-a-time Python is banned on these paths)."""
