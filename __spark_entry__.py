@@ -361,6 +361,15 @@ def _jaccard_pairs_3gram(spark, sf_dir):
     return D.jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.2)
 
 
+def _dedup_keep_list(spark, sf_dir):
+    """Pair graph → connected components → survivor per cluster (min id).
+    The retention stage of the dedup ladder; DuckDB twin resolves the same
+    components with a recursive-CTE transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, k=3, threshold=0.2)
+    return D.dedup_clusters(docs, pairs)
+
+
 def _minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_dedup_pairs(_t(spark, sf_dir, "documents"), k=3, n_hashes=32, bands=8, threshold=0.2)
 
@@ -746,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _doc_fingerprint,
         "dedup_exact_docs": _dedup_exact_docs,
         "jaccard_pairs_3gram": _jaccard_pairs_3gram,
+        "dedup_keep_list": _dedup_keep_list,
         "minhash_lsh_pairs": _minhash_lsh_pairs,
         "simhash_near_pairs": _simhash_near_pairs,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -1040,6 +1050,20 @@ SELECT md5({nt}) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY 1
 """,
         "jaccard_pairs_3gram": _JACCARD_SQL,
+        "dedup_keep_list": f"""
+WITH RECURSIVE j AS ({_JACCARD_SQL}),
+e AS (SELECT a AS x, b AS y FROM j UNION SELECT b, a FROM j),
+r(node, peer) AS (
+  SELECT x, y FROM e
+  UNION
+  SELECT r.node, e.y FROM r JOIN e ON e.x = r.peer
+),
+m AS (SELECT node, min(peer) AS mn FROM r GROUP BY node)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(m.mn, d.doc_id)) AS rep,
+       (least(d.doc_id, coalesce(m.mn, d.doc_id)) = d.doc_id) AS keep
+FROM documents d LEFT JOIN m ON m.node = d.doc_id
+""",
         # MinHash-LSH + exact-Jaccard verify must recover exactly the pairs
         # the exact tier finds (the verify stage prunes false positives, and
         # at 32 hashes / 8 bands recall at J≥0.2 is ~1 on this corpus — the

@@ -162,6 +162,61 @@ def minhash_dedup_pairs(
     )
 
 
+def dedup_clusters(docs: DataFrame, pairs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Resolve near-dup PAIRS into clusters and a keep-list: every doc maps
+    to its connected component's minimum id (``rep``); ``keep = (doc == rep)``.
+
+    This is the survivor-selection stage every production dedup needs after
+    pair generation (exact/MinHash/SimHash emit pairs; retention wants one
+    doc per cluster). Algorithm: min-label propagation to fixpoint — each
+    round, a doc's label becomes the min of its own and its neighbors'
+    labels; near-dup components are tiny (dozens), so rounds ≈ component
+    diameter and each round is one shuffle on the edge key. At web scale with
+    adversarially long chains, switch to the large-star/small-star variant
+    (alternation halves diameter per round); the fixpoint loop and
+    convergence check are identical.
+
+    Deterministic: fixpoint of a monotone min — independent of partitioning
+    and iteration interleave.
+    """
+    ids = docs.select(F.col(key).alias("node")).distinct()
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+        .cache()
+    )
+    labels = ids.withColumn("rep", F.col("node")).cache()
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.node)
+            .groupBy("x")
+            .agg(F.min("rep").alias("nrep"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.x, "left")
+            .select(
+                "node",
+                F.least(F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))).alias("rep"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(key), "rep", (F.col("node") == F.col("rep")).alias("keep")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash — pure JVM expressions (no Python, no shuffle)
 # ---------------------------------------------------------------------------
