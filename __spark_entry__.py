@@ -471,6 +471,41 @@ def _lead_lag_events(spark, sf_dir):
     )
 
 
+def _range_frame_window(spark, sf_dir):
+    """RANGE frame (value-based, ties share a frame) — semantically distinct
+    from the ROWS frames elsewhere: all orders within ±5000.00 of this
+    order's price for the same customer."""
+    orders = _t(spark, sf_dir, "orders")
+    # fractional RANGE bounds need the SQL WINDOW form (the DataFrame
+    # rangeBetween API accepts integer offsets only)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+          count(*) OVER w AS n_near_price,
+          CAST(min(o_totalprice) OVER w AS DECIMAL(18,2)) AS min_near,
+          CAST(max(o_totalprice) OVER w AS DECIMAL(18,2)) AS max_near
+        FROM {orders}
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DOUBLE)
+                     RANGE BETWEEN 5000.0 PRECEDING AND 5000.0 FOLLOWING)
+        """,
+        orders=orders,
+    )
+
+
+def _rank_family_orders(spark, sf_dir):
+    """rank / dense_rank / percent_rank / cume_dist over one window — the
+    full rank-function family in a single oracled query."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        fixed_point(F.percent_rank().over(w)).alias("prank_e4"),
+        fixed_point(F.cume_dist().over(w)).alias("cume_e4"),
+    )
+
+
 def _ntile_price_bands(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     # global ntile is single-partition by construction — query-surface demo,
@@ -491,6 +526,22 @@ def _string_funcs_parts(spark, sf_dir):
         F.length("p_name").cast("long").alias("name_len"),
         F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+    )
+
+
+def _datetime_funcs_orders(spark, sf_dir):
+    """Calendar-function surface: parts extraction, date arithmetic, day
+    diffs — aligned to DuckDB semantics (isodow == weekday()+1)."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.month(d).cast("long").alias("mo"),
+        (F.weekday(d) + 1).cast("long").alias("isodow"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d).cast("long").alias("days_to_98"),
     )
 
 
@@ -704,6 +755,36 @@ def _streaming_host_totals(spark, sf_dir):
     )
 
 
+def _corpus_curation_stats(spark, sf_dir):
+    """Flagship composition — the whole training-data pipeline in one plan:
+    extract (mapInPandas) → quality gate on the EXTRACTED text → exact-dedup
+    survivor selection (min url per fingerprint) → deterministic hash split →
+    per-split corpus stats. The DuckDB twin recomputes every stage from the
+    golden extracted_text, so a green hash certifies the composed pipeline,
+    not just its parts."""
+    ext = extract_pages(_fixture_pages(spark, N_E2E), partitions=8).select(
+        "url", "extracted_text"
+    )
+    q = T.quality_score(
+        ext.select(F.col("url").alias("doc_id"), F.col("extracted_text").alias("text"))
+    )
+    j = ext.join(
+        q.select(F.col("doc_id").alias("url"), "n_tokens", "quality_e4"), "url"
+    )
+    kept = j.filter((F.col("quality_e4") >= 5000) & (F.col("n_tokens") >= 20))
+    ranked = kept.withColumn("fp", F.md5(norm_text(F.col("extracted_text"))))
+    survivors = ranked.join(
+        ranked.groupBy("fp").agg(F.min("url").alias("url")), ["fp", "url"], "left_semi"
+    )
+    c = F.ascii(F.substring(F.md5("url"), 1, 1))
+    split = (
+        F.when((c >= 48) & (c <= 57), "train").when(c.isin(97, 98), "val").otherwise("test")
+    )
+    return survivors.withColumn("split", split).groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+
+
 def _page_profile(spark, sf_dir):
     from ocr_machine_spark.operators.extraction import page_profile
 
@@ -742,7 +823,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_avg_value": _sliding_avg_value,
         "lead_lag_events": _lead_lag_events,
         "ntile_price_bands": _ntile_price_bands,
+        "range_frame_window": _range_frame_window,
+        "rank_family_orders": _rank_family_orders,
         "string_funcs_parts": _string_funcs_parts,
+        "datetime_funcs_orders": _datetime_funcs_orders,
         "conditional_agg_nation": _conditional_agg_nation,
         "full_outer_join_counts": _full_outer_join_counts,
         "grouping_sets_revenue": _grouping_sets_revenue,
@@ -774,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocks_integrity": _blocks_integrity,
         "region_detection": _region_detection,
         "page_profile": _page_profile,
+        "corpus_curation_stats": _corpus_curation_stats,
         "streaming_host_totals": _streaming_host_totals,
     }
 
@@ -1004,6 +1089,23 @@ SELECT event_id,
   first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_event
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
+        "range_frame_window": """
+SELECT o_orderkey,
+  count(*) OVER w AS n_near_price,
+  CAST(min(o_totalprice) OVER w AS DECIMAL(18,2)) AS min_near,
+  CAST(max(o_totalprice) OVER w AS DECIMAL(18,2)) AS max_near
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DOUBLE)
+             RANGE BETWEEN 5000.0 PRECEDING AND 5000.0 FOLLOWING)
+""",
+        "rank_family_orders": f"""
+SELECT o_orderkey,
+  rank() OVER w AS rnk,
+  dense_rank() OVER w AS drnk,
+  {_sql_fix('percent_rank() OVER w')} AS prank_e4,
+  {_sql_fix('cume_dist() OVER w')} AS cume_e4
+FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
         "ntile_price_bands": """
 SELECT band, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total FROM (
   SELECT o_totalprice, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS band FROM orders
@@ -1013,6 +1115,16 @@ SELECT band, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DEC
 SELECT p_partkey, upper(substring(p_name, 1, 8)) AS prefix, length(p_name) AS name_len,
   concat_ws('-', p_brand, p_type) AS brand_type, replace(p_type, ' ', '_') AS type_slug
 FROM part
+""",
+        "datetime_funcs_orders": """
+SELECT o_orderkey,
+  year(CAST(o_orderdate AS DATE)) AS yr,
+  quarter(CAST(o_orderdate AS DATE)) AS qtr,
+  month(CAST(o_orderdate AS DATE)) AS mo,
+  isodow(CAST(o_orderdate AS DATE)) AS isodow,
+  CAST(o_orderdate AS DATE) + 30 AS due_date,
+  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+FROM orders
 """,
         "conditional_agg_nation": f"""
 SELECT n_name, count(*) AS n_orders,
@@ -1224,6 +1336,37 @@ FROM embeddings
 """
 
 
+def _curation_sql(golden_path: str) -> str:
+    """DuckDB twin of the composed curation pipeline, from golden text."""
+    t = _norm("extracted_text")
+    stop_terms = " + ".join(_sql_count_word("ws", w) for w in T.STOPWORDS)
+    return f"""
+WITH d AS (
+  SELECT url, {t} AS tx, string_split({t}, ' ') AS ws,
+         len(string_split({t}, ' ')) AS toks
+  FROM '{golden_path}'
+), s AS (
+  SELECT url, tx, toks,
+         {_sql_fix(f"least(length(tx) / 500.0, 1.0) * 0.5 + least((({stop_terms}) / toks) * 5.0, 1.0) * 0.5")} AS quality_e4
+  FROM d
+), kept AS (
+  SELECT url, tx, toks FROM s WHERE quality_e4 >= 5000 AND toks >= 20
+), fp AS (
+  SELECT url, toks, md5(tx) AS fp FROM kept
+), surv AS (
+  SELECT f.url, f.toks FROM fp f
+  JOIN (SELECT fp, min(url) AS url FROM fp GROUP BY fp) k
+    ON f.fp = k.fp AND f.url = k.url
+)
+SELECT CASE WHEN a BETWEEN 48 AND 57 THEN 'train'
+            WHEN a IN (97, 98) THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens
+FROM (SELECT ascii(substring(md5(url), 1, 1)) AS a, toks FROM surv)
+GROUP BY split
+"""
+
+
 def _golden_oracles() -> dict[str, str]:
     """DuckDB twins for the extraction pipeline: SELECTs over the golden
     parquet (expectations computed by construction — never by the extractor).
@@ -1274,6 +1417,7 @@ WHERE b.block_type = 'CELL' GROUP BY url
 SELECT CAST(sum(len(blocks)) AS BIGINT) AS n_blocks, CAST(0 AS BIGINT) AS n_dangling
 FROM '{g_int}'
 """,
+        "corpus_curation_stats": _curation_sql(g_e2e),
         "streaming_host_totals": f"""
 SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
        count(*) AS n_pages, CAST(sum(n_html_bytes) AS BIGINT) AS bytes_html
