@@ -222,15 +222,34 @@ from html import unescape  # noqa: E402
 # tag-name and attribute sub-patterns lifted from CPython's html.parser
 # (tagfind_tolerant / locatestarttagend_tolerant) so the fast scanner accepts
 # exactly what the stdlib reference parser accepts
-_TAGNAME = r"[a-zA-Z][^\t\n\r\f />\x00]*"
+# possessive name: stdlib parses the name as a committed step (tagfind), so
+# a failing attrs/'>' suffix must NOT backtrack into the name — otherwise
+# '<a'n =='>' would "match" as tag a' with attrs, where html.parser sees an
+# incomplete start tag and recovers it as data
+_TAGNAME = r"[a-zA-Z][^\t\n\r\f />\x00]*+"
 _ATTRS_TOLERANT = (
-    r"(?:[\s/]*(?:(?<=['\"\s/])[^\s/>][^\s/=>]*"
+    # the leading separator class must NOT consume a '/' that sits right
+    # before '>': that slash is the self-close marker (stdlib's parse loop
+    # decides via `end == '/>'`; regression: '<figcaption/>' + trailing text
+    # attributed to a phantom open block)
+    r"(?:(?:\s|/(?!>))*(?:(?<=['\"\s/])[^\s/>][^\s/=>]*"
     r"(?:\s*=+\s*(?:'[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*)(?:\s*,)*)?"
-    r"(?:\s|/(?!>))*)*)?\s*"
+    r"(?:\s|/(?!>))*)*)?(?:\s|/(?!>))*"
 )
 _TOKEN_RE = re.compile(
-    r"<(/?)(" + _TAGNAME + r")(" + _ATTRS_TOLERANT + r")(/?)>"
-    r"|<!--.*?-->|<![^>]*>|<\?[^>]*>|</[^a-zA-Z>][^>]*>|</>",
+    # start tag: attrs are atomic for the same reason the name is possessive
+    # — stdlib commits each parse stage before checking for '>'
+    r"<(?P<name>" + _TAGNAME + r")(?P<attrs>(?>" + _ATTRS_TOLERANT + r"))(?P<selfclose>/?)>"
+    # end tag, tolerant: html.parser's parse_endtag takes the NAME only and
+    # scans straight to the next '>' — junk between them is discarded, never
+    # parsed as attrs ('</v -='>' is handle_endtag("v"))
+    r"|</(?P<endname>" + _TAGNAME + r")[^>]*+>"
+    # '<!' must not swallow a '<!--' whose comment never closes — that is an
+    # UNTERMINATED COMMENT and html.parser recovers it as data (see
+    # _gap_chunks), not as a one-'>' declaration
+    # comments close at '--' + optional whitespace + '>' (CPython's
+    # _commentclose), not only at a literal '-->'
+    r"|<!--.*?--\s*>|<!(?!--)[^>]*>|<\?[^>]*>|</[^a-zA-Z>][^>]*>|</>",
     re.DOTALL,
 )
 _ATTR_RE = re.compile(
@@ -242,6 +261,60 @@ _ATTR_RE = re.compile(
 _RAWTEXT_CLOSE = {
     t: re.compile(rf"</\s*{t}(?![a-zA-Z0-9:._-])", re.IGNORECASE) for t in ("script", "style")
 }
+
+
+# --- failed-start-tag recovery (html.parser semantics) ----------------------
+# A '<'+letter that the token regex could NOT complete is what CPython's
+# check_for_whole_start_tag calls an incomplete start tag: if the character
+# after the (tolerant) name+attrs prefix is a letter, '=', '/' or EOF, the
+# parser gives up and emits everything from '<' through the NEXT '>'
+# (inclusive; else to the next '<', else just the '<') as data — never
+# tokenizing inside. For any other junk character it emits data only through
+# the prefix end and resumes there (parse_starttag's end-check failure).
+# markup openers the recovery applies to: start tags, and the bogus-comment /
+# comment / PI / end-tag families when their construct never completed (a
+# completed one would have been a _TOKEN_RE match, never gap text)
+_LT_MARKUP = re.compile(r"<[a-zA-Z!?/]")
+_STARTTAG_PREFIX = re.compile("<" + _TAGNAME + _ATTRS_TOLERANT)
+_CONTINUE_CHARS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
+
+
+def _gap_chunks(html: str, a: int, b: int) -> tuple[list[str], int]:
+    """Split the inter-token gap ``html[a:b)`` into data chunks, emulating
+    html.parser's incomplete-start-tag recovery. Returns (chunks, resume_pos);
+    ``resume_pos > b`` when a swallow extends past the gap (the caller must
+    then skip any token matches that start before it)."""
+    chunks: list[str] = []
+    i = a
+    while i < b:
+        m = _LT_MARKUP.search(html, i, b)
+        if m is None:
+            chunks.append(html[i:b])
+            return chunks, b
+        j0 = m.start()
+        if j0 > i:
+            chunks.append(html[i:j0])
+        if html[j0 + 1].isalpha():
+            pm = _STARTTAG_PREFIX.match(html, j0)
+            j = pm.end() if pm else j0 + 1
+            nxt = html[j : j + 1]
+            if not (nxt in _CONTINUE_CHARS or nxt == ""):
+                # parse_starttag end-check failure: data through the
+                # tolerant prefix only, resume right after
+                chunks.append(html[j0:j])
+                i = j
+                continue
+        # incomplete construct: data through the next '>' (inclusive),
+        # else to the next '<', else just the '<'
+        k = html.find(">", j0 + 1)
+        if k == -1:
+            k2 = html.find("<", j0 + 1)
+            k = k2 if k2 != -1 else j0 + 1
+        else:
+            k += 1
+        chunks.append(html[j0:k])
+        i = k
+    return chunks, i
 
 
 def _parse_attrs(raw: str) -> dict[str, str]:
@@ -258,27 +331,37 @@ def parse_html_fast(html: str) -> Element:
     root = Element("#root")
     stack = [root]
     pos = 0
-    for m in _TOKEN_RE.finditer(html):
+    while True:
+        # search from pos (not finditer): a raw-text consume can land pos
+        # INSIDE a pre-found token, whose tail must then be re-tokenized
+        m = _TOKEN_RE.search(html, pos)
+        if m is None:
+            break
         start = m.start()
-        if start < pos:
-            continue  # token lies inside an already-consumed raw-text region
         if start > pos:
-            text = html[pos:start]
-            if "&" in text:
-                text = unescape(text)
-            stack[-1].children.append(text)
+            chunks, npos = _gap_chunks(html, pos, start)
+            for text in chunks:
+                if "&" in text:
+                    text = unescape(text)
+                stack[-1].children.append(text)
+            if npos > start:
+                pos = npos  # failed-tag swallow consumed this token too
+                continue
         pos = m.end()
-        closing, tag, raw_attrs, selfclose = m.group(1, 2, 3, 4)
-        if tag is None:
-            continue  # comment / doctype / processing instruction
-        tag = tag.lower()
-        if closing:
+        tag, raw_attrs, selfclose, endname = m.group("name", "attrs", "selfclose", "endname")
+        if endname is not None:
+            endname = endname.lower()
             for i in range(len(stack) - 1, 0, -1):
-                if stack[i].tag == tag:
+                if stack[i].tag == endname:
                     del stack[i:]
                     break
             continue
-        if len(stack) > 1:
+        if tag is None:
+            continue  # comment / doctype / processing instruction
+        tag = tag.lower()
+        if len(stack) > 1 and not selfclose:
+            # stdlib runs implied ends in handle_starttag only — an explicit
+            # self-closing tag (handle_startendtag) never closes an open <p>
             _implied_close_stack(stack, tag)
         el = Element(tag, None, raw_attrs)
         stack[-1].children.append(el)
@@ -297,10 +380,11 @@ def parse_html_fast(html: str) -> Element:
             continue
         stack.append(el)
     if pos < len(html):
-        text = html[pos:]
-        if "&" in text:
-            text = unescape(text)
-        stack[-1].children.append(text)
+        chunks, _ = _gap_chunks(html, pos, len(html))
+        for text in chunks:
+            if "&" in text:
+                text = unescape(text)
+            stack[-1].children.append(text)
     return root
 
 
@@ -611,32 +695,43 @@ def render_html(html: str) -> tuple[str, list[Block]]:
             close_to(n - 1)
 
     pos = 0
-    for m in _TOKEN_RE.finditer(html):
+    while True:
+        # search from pos (not finditer): a raw-text consume can land pos
+        # INSIDE a pre-found token, whose tail must then be re-tokenized
+        m = _TOKEN_RE.search(html, pos)
+        if m is None:
+            break
         start = m.start()
-        if start < pos:
-            continue  # token inside an already-consumed raw-text region
         if start > pos:
             if skip_depth == 0:
-                t = html[pos:start]
-                if "&" in t:
-                    t = unescape(t)
-                text(t)
+                chunks, npos = _gap_chunks(html, pos, start)
+                for t in chunks:
+                    if "&" in t:
+                        t = unescape(t)
+                    text(t)
+                if npos > start:
+                    pos = npos  # failed-tag swallow consumed this token too
+                    continue
         pos = m.end()
-        closing, tag, raw_attrs, selfclose = m.group(1, 2, 3, 4)
-        if tag is None:
-            continue  # comment / doctype / PI / bogus end tag
-        tag = tag.lower()
-        if closing:
+        tag, raw_attrs, selfclose, endname = m.group("name", "attrs", "selfclose", "endname")
+        if endname is not None:
+            endname = endname.lower()
             for i in range(len(frames) - 1, -1, -1):
-                if frames[i] == tag:
+                if frames[i] == endname:
                     close_to(i)
                     break
             continue
+        if tag is None:
+            continue  # comment / doctype / PI / bogus end tag
         if frames and not selfclose:
             # stdlib runs implied ends in handle_starttag only (explicit
             # self-closing tags go through handle_startendtag without them)
             implied(tag)
         if tag in SKIP_TAGS:
+            if selfclose or tag in VOID_TAGS:
+                # '<style/>' does NOT enter CDATA mode in html.parser —
+                # the element is empty, following text is regular text
+                continue
             # raw-text elements: consume their content at the tokenizer level
             close = _RAWTEXT_CLOSE.get(tag)
             if close is not None:
@@ -646,8 +741,6 @@ def render_html(html: str) -> tuple[str, list[Block]]:
                     continue
                 gt = html.find(">", cm.end())
                 pos = gt + 1 if gt != -1 else len(html)
-                continue
-            if selfclose or tag in VOID_TAGS:
                 continue
             frames.append(tag)
             skip_depth += 1
@@ -666,10 +759,11 @@ def render_html(html: str) -> tuple[str, list[Block]]:
         enter(tag, len(frames), raw_attrs)
         frames.append(tag)
     if pos < len(html) and skip_depth == 0:
-        t = html[pos:]
-        if "&" in t:
-            t = unescape(t)
-        text(t)
+        chunks, _ = _gap_chunks(html, pos, len(html))
+        for t in chunks:
+            if "&" in t:
+                t = unescape(t)
+            text(t)
     close_to(0)
     raw = "".join(r.parts)
     blocks = [b for b in r.blocks if b.start >= 0 and b.n_chars > 0]

@@ -16,16 +16,20 @@ from ocr_machine_spark.core.htmlparse import parse_html_fast, parse_html_stdlib,
 TAGS = ["p", "div", "li", "ul", "nav", "table", "td", "tr", "a", "del", "b", "h2",
         "footer", "figure", "figcaption", "script", "style", "br", "img", "span"]
 
-words = st.text(alphabet="abcdefg &<>'\"\n\t", min_size=0, max_size=30)
+# alphabet includes the failed-start-tag recovery triggers ('=', '/', '!',
+# '?', quotes) — round 2 hardened the tokenizer against this whole class
+words = st.text(alphabet="abcdefg &<>'\"\n\t!-/=?;", min_size=0, max_size=30)
 
 
 @st.composite
 def html_soup(draw):
-    """Random (often malformed) tag soup."""
+    """Random (often malformed) tag soup — includes self-closing tags,
+    comments, and attribute junk that exercises html.parser's
+    incomplete-start-tag recovery."""
     n = draw(st.integers(1, 25))
     parts = []
     for _ in range(n):
-        kind = draw(st.integers(0, 3))
+        kind = draw(st.integers(0, 5))
         tag = draw(st.sampled_from(TAGS))
         if kind == 0:
             parts.append(f"<{tag}>")
@@ -33,9 +37,13 @@ def html_soup(draw):
             parts.append(f"</{tag}>")
         elif kind == 2:
             parts.append(draw(words))
-        else:
+        elif kind == 3:
             attr = draw(st.sampled_from(["", " class='x'", " href=\"/a\"", " data-x=1"]))
             parts.append(f"<{tag}{attr}>{draw(words)}</{tag}>")
+        elif kind == 4:
+            parts.append(f"<{tag} {draw(words)}>")
+        else:
+            parts.append(f"<{tag}/>")
     return "".join(parts)
 
 
@@ -55,6 +63,15 @@ def test_parsers_agree_and_never_raise(html):
 @given(html_soup())
 @example("<p>" * 19 + "<a>< <")  # bogus-'<' event segmentation (round-1 red)
 @example("< < a< b <")
+@example("<figcaption/>>")  # self-close slash eaten by tolerant attrs
+@example("<style/>a")  # self-closed raw-text element enters no CDATA mode
+@example("<p><div/>f")  # startendtag runs no implied close
+@example("<a <c='>x<p>y")  # incomplete start tag swallows through next '>'
+@example("<!-->")  # unterminated comment opener is data, not declaration
+@example("<a'n\t=='>")  # name must not backtrack to force a tag match
+@example("</v -='>")  # tolerant end tag: name only, scan to '>'
+@example("<style/e><v -='</style><g'>")  # cdata close lands inside a token
+@example("<!----\t>")  # comments close at --\s*>
 def test_single_pass_render_matches_tree(html):
     """The no-tree fast path must be event-for-event equal to the stdlib
     tree path: same raw text, same blocks, same relationships/cell fields."""
