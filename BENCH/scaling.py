@@ -221,7 +221,15 @@ def _orchestrate() -> None:
         bench_dir = os.path.join(REPO, "BENCH")
         with open(os.path.join(bench_dir, "scaling.json"), "w") as f:
             json.dump(summary, f, indent=2)
-        with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
+        # preserve the manually-maintained measurement-history section
+        history = ""
+        md_path = os.path.join(bench_dir, "BASELINE.md")
+        if os.path.exists(md_path):
+            old = open(md_path).read()
+            marker = "## Measurement history"
+            if marker in old:
+                history = "\n" + old[old.index(marker):]
+        with open(md_path, "w") as f:
             f.write(
                 "# BENCH/BASELINE — measured scaling evidence\n\n"
                 "Protocol per /root/repo/BASELINE.md: identical extraction job, same\n"
@@ -249,6 +257,7 @@ def _orchestrate() -> None:
                 + ("**PASS**" if summary["pass"] else "**FAIL**")
                 + ")\n\nThroughput is auditable against the lineage table: "
                 "`ocr_machine_spark.plans.lineage` records per-bucket rows/bytes.\n"
+                + history
             )
         print(json.dumps(summary))
     finally:

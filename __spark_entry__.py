@@ -529,6 +529,36 @@ def _string_funcs_parts(spark, sf_dir):
     )
 
 
+def _array_funcs_docs(spark, sf_dir):
+    """Array-function surface over the token arrays: slice/contains/
+    distinct/sort — all JVM expressions with exact DuckDB twins."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(norm_text(F.col("text")), " ")
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+        F.array_contains(ws, "the").alias("has_the"),
+        F.concat_ws(" ", F.slice(ws, 1, 5)).alias("first5"),
+        F.element_at(F.array_sort(F.array_distinct(ws)), 1).alias("first_sorted"),
+    )
+
+
+def _correlated_subquery_orders(spark, sf_dir):
+    """Correlated scalar subquery: orders priced above their customer's own
+    average — expressed via SQL so Catalyst plans the decorrelation."""
+    orders = _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM {o} o1
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM {o} o2
+                              WHERE o2.o_custkey = o1.o_custkey)
+        """,
+        o=orders,
+    )
+
+
 def _datetime_funcs_orders(spark, sf_dir):
     """Calendar-function surface: parts extraction, date arithmetic, day
     diffs — aligned to DuckDB semantics (isodow == weekday()+1)."""
@@ -827,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_family_orders": _rank_family_orders,
         "string_funcs_parts": _string_funcs_parts,
         "datetime_funcs_orders": _datetime_funcs_orders,
+        "array_funcs_docs": _array_funcs_docs,
+        "correlated_subquery_orders": _correlated_subquery_orders,
         "conditional_agg_nation": _conditional_agg_nation,
         "full_outer_join_counts": _full_outer_join_counts,
         "grouping_sets_revenue": _grouping_sets_revenue,
@@ -1115,6 +1147,22 @@ SELECT band, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DEC
 SELECT p_partkey, upper(substring(p_name, 1, 8)) AS prefix, length(p_name) AS name_len,
   concat_ws('-', p_brand, p_type) AS brand_type, replace(p_type, ' ', '_') AS type_slug
 FROM part
+""",
+        "array_funcs_docs": f"""
+WITH d AS (SELECT doc_id, string_split({nt}, ' ') AS ws FROM documents)
+SELECT doc_id,
+  len(ws) AS n_words,
+  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+  list_contains(ws, 'the') AS has_the,
+  array_to_string(ws[1:5], ' ') AS first5,
+  list_sort(list_distinct(ws))[1] AS first_sorted
+FROM d
+""",
+        "correlated_subquery_orders": """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+FROM orders o1
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders o2
+                      WHERE o2.o_custkey = o1.o_custkey)
 """,
         "datetime_funcs_orders": """
 SELECT o_orderkey,
