@@ -84,12 +84,17 @@ def jaccard_pairs(
 def minhash_signatures(
     docs: DataFrame, *, k: int = 3, n_hashes: int = 32, key: str = "doc_id", text: str = "text"
 ) -> DataFrame:
-    """MinHash signature per document: permutation h_i(s) = xxhash64(i || s);
-    signature[i] = min over shingles. Pure expressions, one groupBy."""
-    sh = shingle_rows(docs, k, key, text)
+    """MinHash signature per document: the shingle is string-hashed ONCE,
+    then permutation i re-hashes the resulting 8-byte long with the
+    permutation index — h_i(s) = xxhash64(xxhash64(s), i) — instead of the
+    round-1 shape's 32 independent STRING hashes per shingle row (fixed-width
+    long hashing is ~10x cheaper than re-scanning the shingle text).
+    signature[i] = min over shingles; pure expressions, one map-side-combined
+    groupBy. (ANSI mode note: a classic a*h+b universal mix overflows —
+    Spark 4 throws on long overflow — so the mix is itself xxhash64.)"""
+    sh = shingle_rows(docs, k, key, text).select(key, F.xxhash64("s").alias("h"))
     mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("s")))).alias(f"h{i}")
-        for i in range(n_hashes)
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
     ]
     sig = sh.groupBy(key).agg(*mins)
     return sig.select(F.col(key), F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
