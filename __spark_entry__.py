@@ -657,6 +657,22 @@ def _media_features(spark, sf_dir):
     )
 
 
+def _media_resize_plan(spark, sf_dir):
+    """Aspect-preserving resize plumbing: metadata math is exact and DuckDB-
+    checkable (generate_media dims are closed-form in media_id); the pixel
+    resample is the stubbed codec step."""
+    from ocr_machine_spark.operators.multimodal import generate_media, resize_images
+
+    media = generate_media(spark, 300, partitions=8)
+    r = resize_images(media, max_side=64)
+    return r.select(
+        "media_id",
+        F.col("meta.width").alias("new_w"),
+        F.col("meta.height").alias("new_h"),
+        "resized",
+    )
+
+
 def _media_frame_plan(spark, sf_dir):
     from ocr_machine_spark.operators.multimodal import generate_media, sample_frames
 
@@ -864,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": _grouping_sets_revenue,
         "approx_distinct_parts": _approx_distinct_parts,
         "media_features": _media_features,
+        "media_resize_plan": _media_resize_plan,
         "media_frame_plan": _media_frame_plan,
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
@@ -1316,6 +1333,20 @@ WITH m AS (
 SELECT kind, count(*) AS n, CAST(sum(nb) AS BIGINT) AS bytes,
        CAST(32 AS INTEGER) AS n_feat, true AS f0_in_unit
 FROM m GROUP BY kind
+""",
+        "media_resize_plan": """
+WITH m AS (
+  SELECT i AS media_id, 64 + (i % 8) * 16 AS w, 64 + (i % 4) * 16 AS h
+  FROM generate_series(0, 299) t(i) WHERE i % 3 = 0
+), s AS (
+  SELECT media_id, w, h, least(64.0 / greatest(w, h), 1.0) AS sc FROM m
+)
+SELECT media_id,
+  CAST(greatest(floor(w * sc), 1) AS INTEGER) AS new_w,
+  CAST(greatest(floor(h * sc), 1) AS INTEGER) AS new_h,
+  (CAST(greatest(floor(w * sc), 1) AS INTEGER) != w
+   OR CAST(greatest(floor(h * sc), 1) AS INTEGER) != h) AS resized
+FROM s
 """,
         "media_frame_plan": """
 WITH v AS (

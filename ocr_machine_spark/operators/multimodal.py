@@ -105,6 +105,58 @@ def decode_media(media: DataFrame, *, strict: bool = False) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>, "
+    "resized boolean"
+)
+
+
+def resize_images(media: DataFrame, *, max_side: int = 64, strict: bool = False) -> DataFrame:
+    """image rows → bounded-size variants: metadata is recomputed exactly
+    (aspect-preserving clamp to ``max_side``); the pixel resample itself is
+    the stubbed codec step (PIL absent — ``strict=True`` raises at the same
+    marked boundary as ``decode_media``; the stub passes the payload through
+    with a deterministic marker byte so tests can assert the transform ran).
+    Arrow-batched ``mapInPandas``; the batch shape, schema and partitioning
+    are the real production plumbing — swapping in PIL changes only the
+    marked inner function. Raster-stage analogue:
+    ``training_strikethrough/processing_scripts/create_bbox_chunked.py:7-26``
+    (word-crop resamples to fixed tensors)."""
+    has_codec = _codec_available()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(
+                pdf["media_id"].tolist(), pdf["payload"].tolist(), pdf["meta"].tolist()
+            ):
+                w = meta.get("width") if isinstance(meta, dict) else meta["width"]
+                h = meta.get("height") if isinstance(meta, dict) else meta["height"]
+                if w is None or h is None or payload is None:
+                    rows.append((mid, payload, meta, False))
+                    continue
+                scale = min(max_side / max(w, h), 1.0)
+                nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                if (nw, nh) == (w, h):
+                    rows.append((mid, payload, meta, False))
+                    continue
+                if strict and not has_codec:
+                    raise NotImplementedError(
+                        "real image resample requires PIL (not in this container); "
+                        "use strict=False for the deterministic stub"
+                    )
+                # STUB resample: metadata math is real; pixels are passthrough
+                # + marker byte (deterministic)
+                new_meta = dict(meta)
+                new_meta["width"], new_meta["height"] = nw, nh
+                rows.append((mid, bytes(payload) + b"\x00", new_meta, True))
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta", "resized"])
+
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "payload", "meta")
+    return imgs.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n: int = 24) -> DataFrame:
     """video → deterministic frame-sample plan (frame_idx, offset_ms).
 

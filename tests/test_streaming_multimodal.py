@@ -98,6 +98,35 @@ def test_media_decode_strict_raises(spark):
     assert "NotImplementedError" in str(ei.value) or "real media decode" in str(ei.value)
 
 
+def test_resize_images_stub(spark):
+    from ocr_machine_spark.operators.multimodal import generate_media, resize_images
+
+    media = generate_media(spark, 60, partitions=2)
+    out = {r["media_id"]: r for r in resize_images(media, max_side=64).collect()}
+    src = {r["media_id"]: r for r in media.filter(F.col("kind") == "image").collect()}
+    assert set(out) == set(src)
+    for mid, r in out.items():
+        w, h = src[mid]["meta"]["width"], src[mid]["meta"]["height"]
+        nw, nh = r["meta"]["width"], r["meta"]["height"]
+        assert max(nw, nh) <= 64
+        if (w, h) == (nw, nh):
+            assert not r["resized"]
+            assert bytes(r["payload"]) == bytes(src[mid]["payload"])
+        else:
+            assert r["resized"]
+            assert bytes(r["payload"]) == bytes(src[mid]["payload"]) + b"\x00"
+
+
+def test_resize_strict_raises(spark):
+    import pytest as _pytest
+
+    from ocr_machine_spark.operators.multimodal import generate_media, resize_images
+
+    media = generate_media(spark, 30, partitions=1)
+    with _pytest.raises(Exception, match="NotImplementedError|resample"):
+        resize_images(media, max_side=32, strict=True).collect()
+
+
 def test_frame_sampling_plan(spark):
     media = generate_media(spark, 60, partitions=4)
     frames = sample_frames(media, every_n=24)
