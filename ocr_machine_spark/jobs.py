@@ -22,6 +22,12 @@ Sizing guidance at 10^12 rows / 100 TB html:
   extract_pages spreads mega-hosts across tasks.
 * spark.sql.files.maxPartitionBytes=256m keeps scan tasks bounded; AQE
   coalesces the post-UDF writes.
+* Arrow batches are capped by ROWS (spark.sql.execution.arrow.
+  maxRecordsPerBatch, default 2048 here), not bytes: size it so
+  records × your html size cap fits executor memory — e.g. 256 for
+  1 MB-truncated Common-Crawl payloads (≤256 MB per in-flight batch).
+  The extraction UDF itself is O(page) memory; the batch is the only
+  aggregation point.
 """
 
 from __future__ import annotations

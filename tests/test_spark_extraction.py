@@ -73,6 +73,18 @@ def test_extraction_total_on_degraded_pages(spark, pages):
     out.unpersist()
 
 
+def test_extraction_handles_multi_megabyte_pages(spark):
+    """Large-payload smoke: multi-MB pages flow through the Arrow stage
+    (batches are row-capped, so oversized payloads are the memory risk at
+    scale — jobs.py documents the byte-aware sizing rule)."""
+    big_para = "<p>" + "word " * 200_000 + "</p>"  # ~1 MB of visible text
+    rows = [(f"u://big/{i}", ("<html><body>" + big_para * 3 + "</body></html>").encode()) for i in range(4)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = extract_pages(df).select("url", "ok", "chars_out").collect()
+    assert len(out) == 4 and all(r["ok"] for r in out)
+    assert all(r["chars_out"] > 2_000_000 for r in out)
+
+
 def test_blocks_and_regions(spark, pages):
     blocks = extract_blocks(pages).cache()
     assert blocks.filter(F.col("block_id").isNull()).count() == 0
