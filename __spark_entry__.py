@@ -770,6 +770,9 @@ def _blocks_integrity(spark, sf_dir):
     )
 
 
+_STREAM_QUERY_SEQ = 0
+
+
 def _streaming_host_totals(spark, sf_dir):
     """Custom stateful streaming (applyInPandasWithState): the stream runs to
     completion inside the callable and the FINAL state table is returned as a
@@ -780,13 +783,16 @@ def _streaming_host_totals(spark, sf_dir):
     from ocr_machine_spark.sources.pages import generate_pages
     from ocr_machine_spark.streaming.extract_stream import host_crawl_totals_stream
 
+    global _STREAM_QUERY_SEQ
+    _STREAM_QUERY_SEQ += 1
+    qname = f"stream_host_totals_{_STREAM_QUERY_SEQ}"  # re-invocation safe
     tmp = tempfile.mkdtemp(prefix="stream_host_totals_")
     pages_path = f"{tmp}/pages"
     generate_pages(spark, N_BLOCKS, partitions=4).write.parquet(pages_path)
     out = host_crawl_totals_stream(spark, pages_path)
     q = (
         out.writeStream.format("memory")
-        .queryName("stream_host_totals")
+        .queryName(qname)
         .outputMode("update")
         .start()
     )
@@ -795,7 +801,7 @@ def _streaming_host_totals(spark, sf_dir):
     finally:
         q.stop()
     return (
-        spark.table("stream_host_totals")
+        spark.table(qname)
         .groupBy("host")
         .agg(F.max("n_pages").alias("n_pages"), F.max("bytes_html").alias("bytes_html"))
     )
