@@ -723,6 +723,7 @@ def render_html(html: str) -> tuple[str, list[Block]]:
             continue
         if tag is None:
             continue  # comment / doctype / PI / bogus end tag
+        tag = tag.lower()
         if frames and not selfclose:
             # stdlib runs implied ends in handle_starttag only (explicit
             # self-closing tags go through handle_startendtag without them)

@@ -14,7 +14,8 @@ from ocr_machine_spark.core.extract import extract_one
 from ocr_machine_spark.core.htmlparse import parse_html_fast, parse_html_stdlib, render
 
 TAGS = ["p", "div", "li", "ul", "nav", "table", "td", "tr", "a", "del", "b", "h2",
-        "footer", "figure", "figcaption", "script", "style", "br", "img", "span"]
+        "footer", "figure", "figcaption", "script", "style", "br", "img", "span",
+        "P", "DIV", "TABLE", "TR", "DEL", "SPAN", "Script", "StYlE"]  # case-folding
 
 # alphabet includes the failed-start-tag recovery triggers ('=', '/', '!',
 # '?', quotes) — round 2 hardened the tokenizer against this whole class
@@ -72,6 +73,7 @@ def test_parsers_agree_and_never_raise(html):
 @example("</v -='>")  # tolerant end tag: name only, scan to '>'
 @example("<style/e><v -='</style><g'>")  # cdata close lands inside a token
 @example("<!----\t>")  # comments close at --\s*>
+@example("<TR>B")  # tag case-folding on the single-pass path
 def test_single_pass_render_matches_tree(html):
     """The no-tree fast path must be event-for-event equal to the stdlib
     tree path: same raw text, same blocks, same relationships/cell fields."""
