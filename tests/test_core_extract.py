@@ -57,6 +57,30 @@ def test_struck_merge_never_swallows_visible_text():
     assert r2.extracted_text == "alpha beta gamma delta tail words"
 
 
+def test_block_goldens_match_extractor():
+    """The per-block goldens (fixtures.make_page, computed by construction)
+    must equal the extractor's block layer field-for-field — this is what
+    licenses the DuckDB golden twins for every blocks/region/profile query."""
+    from ocr_machine_spark.fixtures import make_page
+
+    for i in range(250):
+        p = make_page(i)
+        r = extract_one(p.html, want_blocks=True)
+        assert r.ok
+        got = [
+            (b["block_type"], b["n_words"], b["is_content"], b["kind"], b["reason"],
+             b["start"], b["end"], b["row_idx"], b["col_idx"],
+             "COLUMN_HEADER" in b["entity_types"])
+            for b in r.blocks
+        ]
+        exp = [
+            (b["block_type"], b["n_words"], b["is_content"], b["kind"], b["reason"],
+             b["start"], b["end"], b["row_idx"], b["col_idx"], b["header"])
+            for b in p.blocks
+        ]
+        assert got == exp, f"page {i}"
+
+
 def test_extract_boilerplate_gates():
     html = (
         b"<nav><ul><li><a href='/'>home</a></li></ul></nav>"
