@@ -636,6 +636,24 @@ def _approx_distinct_parts(spark, sf_dir):
     )
 
 
+def _approx_percentile_prices(spark, sf_dir):
+    """Approximate-percentile sketch, hash-gated by its error contract: with
+    accuracy 10000 the rank error is ≤ n/10000, so the approx median must
+    land between the exact 49th and 51st percentiles (documents corpus is
+    ~500-50k rows). DuckDB twin asserts the same booleans from exact
+    quantiles."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("ap50"),
+        F.percentile("o_totalprice", F.lit([0.49, 0.51])).alias("exact"),
+    )
+    return a.select(
+        ((F.col("ap50") >= F.col("exact")[0]) & (F.col("ap50") <= F.col("exact")[1])).alias(
+            "p50_within_bounds"
+        )
+    )
+
+
 def _media_features(spark, sf_dir):
     from ocr_machine_spark.operators.multimodal import decode_media, generate_media
 
@@ -885,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_join_counts": _full_outer_join_counts,
         "grouping_sets_revenue": _grouping_sets_revenue,
         "approx_distinct_parts": _approx_distinct_parts,
+        "approx_percentile_prices": _approx_percentile_prices,
         "media_features": _media_features,
         "media_resize_plan": _media_resize_plan,
         "media_frame_plan": _media_frame_plan,
@@ -1323,6 +1342,7 @@ FROM embeddings GROUP BY label
         "approx_distinct_parts": """
 SELECT true AS parts_within_bounds, true AS supps_within_bounds
 """,
+        "approx_percentile_prices": "SELECT true AS p50_within_bounds",
         "model_inference_scores": _inference_sql(),
         # media queries: generate_media's layout is closed-form in media_id
         # (kind = id%3, payload = 32·(4+id%5) bytes, video n_frames =
