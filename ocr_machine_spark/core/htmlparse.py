@@ -24,6 +24,17 @@ and under every partitioning.
 
 from __future__ import annotations
 
+import sys
+
+if sys.version_info < (3, 11):  # pragma: no cover
+    # the tokenizer regexes use possessive quantifiers (*+) and atomic groups
+    # ((?>...)) — re supports them only on 3.11+; fail with a clear message
+    # instead of an opaque re.error deep in an executor stack
+    raise ImportError(
+        "ocr_machine_spark requires Python >= 3.11 (possessive-quantifier "
+        f"regex in the HTML tokenizer); running {sys.version.split()[0]}"
+    )
+
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 

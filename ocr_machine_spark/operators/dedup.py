@@ -52,13 +52,31 @@ def jaccard_pairs(
     threshold: float = 0.2,
     key: str = "doc_id",
     text: str = "text",
+    max_docs: int | None = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (a < b, J ≥ threshold).
 
     Shape: shingle-explode → self-equi-join on shingle (sort-merge/shuffled
     hash on the shingle key — never a cross join) → per-pair intersection
-    count → J = |∩| / (|A|+|B|−|∩|). At scale, run on LSH candidates only.
+    count → J = |∩| / (|A|+|B|−|∩|).
+
+    THIS IS THE EXACT TIER: cost is quadratic in co-shingle pairs, so
+    standalone use is for small/candidate-restricted corpora only — at web
+    scale it is the *verify* stage of ``minhash_dedup_pairs``, never a
+    standalone sweep (the same O(items²) trap as the reference's per-word ×
+    per-page scan, strikethrough_agent.py). ``max_docs`` enforces the
+    contract: a corpus above it raises rather than silently launching a
+    quadratic job (one cheap count vs hours of shuffle); pass ``None`` only
+    when the input is already a bounded candidate set.
     """
+    if max_docs is not None:
+        n_docs = docs.count()
+        if n_docs > max_docs:
+            raise ValueError(
+                f"jaccard_pairs is the exact O(n²) tier ({n_docs} docs > max_docs={max_docs}); "
+                "use minhash_dedup_pairs (LSH candidates + this verify) at scale, "
+                "or pass max_docs=None for a bounded candidate set."
+            )
     sh = shingle_rows(docs, k, key, text).cache()
     sizes = sh.groupBy(key).agg(F.count("*").alias("n"))
     a = sh.select(F.col(key).alias("a"), "s")
@@ -293,7 +311,8 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     ).select("doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
     a = chunks.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "c", "v")
     b = chunks.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), "c", "v")
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    # long, not int: result-type parity with the DuckDB twin's BIGINT cast
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
     return (
         a.join(b, ["c", "v"])
         .filter(F.col("a") < F.col("b"))

@@ -92,7 +92,10 @@ def embedding_dup_pairs(
 
         field = emb.schema[vec].dataType
         assert isinstance(field, sqlt.ArrayType)
-        dim = len(emb.select(vec).first()[0])
+        head = emb.select(vec).first()
+        # empty input: any dim yields the correct empty result with the right
+        # schema — don't let first()→None raise (round-2 advice)
+        dim = len(head[0]) if head is not None else 1
     bb = srp_band_buckets(
         emb, dim=dim, bands=bands, planes_per_band=planes_per_band, key=key, vec=vec
     ).cache()  # tiny (n·bands rows); both sides of the self-join reuse it
@@ -102,7 +105,13 @@ def embedding_dup_pairs(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+        # materialize candidates NOW so the bucket cache can be released
+        # before the verify stage runs (otherwise the cache lives until the
+        # consumer finishes and bb is never unpersisted). Candidates are
+        # O(n·bands) by the sizing rule above — small by construction.
+        .localCheckpoint(eager=True)
     )
+    bb.unpersist()
     va = emb.select(F.col(key).alias("a"), F.col(vec).cast("array<double>").alias("va"))
     vb = emb.select(F.col(key).alias("b"), F.col(vec).cast("array<double>").alias("vb"))
     scored = _seq_cosine_verify(cand.join(va, "a").join(vb, "b"))
