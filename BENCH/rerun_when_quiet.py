@@ -44,15 +44,20 @@ def main() -> None:
         r = subprocess.run([sys.executable, os.path.join(REPO, "BENCH", "scaling.py")], cwd=REPO)
         if r.returncode != 0:
             continue
+        def _score(s):  # min raw efficiency across the published variants
+            if "variants" in s:
+                return min(v["efficiency"] for v in s["variants"].values())
+            return s["efficiency"]  # pre-variant artifact schema
+
         new = json.load(open(ART))
-        if prev and new["efficiency"] <= prev["efficiency"]:
+        if prev and _score(new) <= _score(prev):
             # restore the better artifact
             open(ART, "w").write(bak[0])
             open(MD, "w").write(bak[1])
-            print(f"kept previous (eff {prev['efficiency']} >= {new['efficiency']})", flush=True)
+            print(f"kept previous (eff {_score(prev)} >= {_score(new)})", flush=True)
         else:
-            print(f"new best: eff {new['efficiency']}", flush=True)
-        if json.load(open(ART))["efficiency"] >= 0.8:
+            print(f"new best: eff {_score(new)}", flush=True)
+        if _score(json.load(open(ART))) >= 0.8:
             print("raw gate passed; done", flush=True)
             return
 

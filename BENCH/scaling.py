@@ -96,10 +96,17 @@ def _hw_ref(cores: int, input_path: str) -> dict:
     return best
 
 
-def _measure(cores: int, input_path: str) -> dict:
+def _measure(cores: int, input_path: str, variant: str = "salted_shuffle") -> dict:
+    """One pinned measurement. Variants:
+    * salted_shuffle — explicit salted repartition before extraction (the
+      skew-defensive path; includes a full shuffle of the html bytes);
+    * scan_aligned   — extraction runs on the parquet scan splits directly
+      (the DEFAULT production path: byte-uniform splits, no key skew in a
+      per-row map, so no pre-shuffle — see bench.py)."""
     from ocr_machine_spark.operators.extraction import extract_pages
     from ocr_machine_spark.session import get_spark
 
+    parts = None if variant == "scan_aligned" else cores * 2
     spark = get_spark(app=f"scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=cores * 2)
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(input_path)
@@ -116,13 +123,14 @@ def _measure(cores: int, input_path: str) -> dict:
         tries += 1
         st0, tt0 = _steal_total(cores)
         t0 = time.perf_counter()
-        out = extract_pages(pages, partitions=cores * 2)
+        out = extract_pages(pages, partitions=parts)
         stats = out.groupBy().agg({"bytes_html": "sum", "url": "count", "ok": "count"}).collect()[0]
         sec = time.perf_counter() - t0
         st1, tt1 = _steal_total(cores)
         steal = (st1 - st0) / max(tt1 - tt0, 1.0)
         n = stats["count(url)"]
         res = {
+            "variant": variant,
             "cores": cores,
             "pages": n,
             "sec": round(sec, 2),
@@ -171,52 +179,63 @@ def _orchestrate() -> None:
         )
         print(f"hardware-ceiling efficiency: {hw_eff}", file=sys.stderr)
 
-        best: dict[int, dict] = {}
-        pair_effs: list[float] = []
-        for rep in range(REPS_OUTER):
-            pair: dict[int, dict] = {}
-            for cores in LEVELS:
-                cmd = ["taskset", "-c", f"0-{cores - 1}",
-                       sys.executable, os.path.abspath(__file__), "--cores", str(cores), "--input", input_path]
-                env = dict(os.environ, SPARK_DRIVER_MEMORY="16g")
-                try:
-                    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
-                                         check=True, timeout=600, env=env)
-                except subprocess.TimeoutExpired:
-                    # hung child (observed rarely on this shared host) — retry once
-                    print(f"rep{rep} local[{cores}] timed out; retrying", file=sys.stderr)
-                    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
-                                         check=True, timeout=600, env=env)
-                r = json.loads(out.stdout.strip().splitlines()[-1])
-                pair[cores] = r
-                if cores not in best or r["pages_per_sec"] > best[cores]["pages_per_sec"]:
-                    best[cores] = r
-                print(f"rep{rep} local[{cores}]: {r}", file=sys.stderr)
-            eff = (
-                pair[LEVELS[1]]["pages_per_sec"] / pair[LEVELS[0]]["pages_per_sec"]
-            ) / (LEVELS[1] / LEVELS[0])
-            pair_effs.append(round(eff, 3))
-            print(f"rep{rep} pair efficiency: {eff:.3f}", file=sys.stderr)
-        results = [best[c] for c in LEVELS]
+        variants = ("salted_shuffle", "scan_aligned")
+        vres: dict[str, dict] = {}
+        for variant in variants:
+            best: dict[int, dict] = {}
+            pair_effs: list[float] = []
+            for rep in range(REPS_OUTER):
+                pair: dict[int, dict] = {}
+                for cores in LEVELS:
+                    cmd = ["taskset", "-c", f"0-{cores - 1}",
+                           sys.executable, os.path.abspath(__file__), "--cores", str(cores),
+                           "--variant", variant, "--input", input_path]
+                    env = dict(os.environ, SPARK_DRIVER_MEMORY="16g")
+                    try:
+                        out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                                             check=True, timeout=600, env=env)
+                    except subprocess.TimeoutExpired:
+                        # hung child (observed rarely on this shared host) — retry once
+                        print(f"{variant} rep{rep} local[{cores}] timed out; retrying", file=sys.stderr)
+                        out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                                             check=True, timeout=600, env=env)
+                    r = json.loads(out.stdout.strip().splitlines()[-1])
+                    pair[cores] = r
+                    if cores not in best or r["pages_per_sec"] > best[cores]["pages_per_sec"]:
+                        best[cores] = r
+                    print(f"{variant} rep{rep} local[{cores}]: {r}", file=sys.stderr)
+                eff = (
+                    pair[LEVELS[1]]["pages_per_sec"] / pair[LEVELS[0]]["pages_per_sec"]
+                ) / (LEVELS[1] / LEVELS[0])
+                pair_effs.append(round(eff, 3))
+                print(f"{variant} rep{rep} pair efficiency: {eff:.3f}", file=sys.stderr)
+            results = [best[c] for c in LEVELS]
 
-        pair_effs.sort()
-        # upper median (with 2 pairs: the better one) — each pair is already
-        # a same-noise-window measurement; the full list is published
-        efficiency = pair_effs[len(pair_effs) // 2]
-        engine_eff = round(min(efficiency / hw_eff, 1.0), 3) if hw_eff else None
-        lo, hi = results[0], results[1]
-        speedup = hi["pages_per_sec"] / lo["pages_per_sec"]
+            pair_effs.sort()
+            # upper median (with 2 pairs: the better one) — each pair is
+            # already a same-noise-window measurement; the full list is
+            # published
+            efficiency = pair_effs[len(pair_effs) // 2]
+            engine_eff = round(min(efficiency / hw_eff, 1.0), 3) if hw_eff else None
+            lo, hi = results[0], results[1]
+            vres[variant] = {
+                "levels": results,
+                "speedup": round(hi["pages_per_sec"] / lo["pages_per_sec"], 3),
+                "pair_efficiencies": pair_effs,
+                "efficiency": efficiency,
+                "engine_efficiency_vs_hw": engine_eff,
+                "pass": efficiency >= 0.8 or (engine_eff is not None and engine_eff >= 0.8),
+            }
+
         summary = {
             "pages": N_PAGES,
-            "levels": results,
-            "speedup": round(speedup, 3),
             "level_pair": list(LEVELS),
-            "pair_efficiencies": pair_effs,
-            "efficiency": efficiency,
+            "variants": vres,
             "hw_ceiling": {str(c): hw[c] for c in LEVELS},
             "hw_ceiling_efficiency": hw_eff,
-            "engine_efficiency_vs_hw": engine_eff,
-            "pass": efficiency >= 0.8 or (engine_eff is not None and engine_eff >= 0.8),
+            # the gate: BOTH the default production path (scan-aligned) and
+            # the skew-defensive shuffle path must scale
+            "pass": all(v["pass"] for v in vres.values()),
         }
         bench_dir = os.path.join(REPO, "BENCH")
         with open(os.path.join(bench_dir, "scaling.json"), "w") as f:
@@ -229,33 +248,52 @@ def _orchestrate() -> None:
             marker = "## Measurement history"
             if marker in old:
                 history = "\n" + old[old.index(marker):]
+        var_blocks = []
+        for variant in variants:
+            v = vres[variant]
+            title = (
+                "Scan-aligned (DEFAULT production path: extraction on the parquet scan\n"
+                "splits — byte-uniform, no key skew in a per-row map, no pre-shuffle)"
+                if variant == "scan_aligned"
+                else "Salted shuffle (skew-defensive path: explicit salted repartition\n"
+                "before extraction — includes a full shuffle of the html bytes)"
+            )
+            var_blocks.append(
+                f"## {variant}\n\n{title}.\n\n"
+                "| level | pages | sec | pages/sec | html MB/sec |\n|---|---|---|---|---|\n"
+                + "".join(
+                    f"| local[{r['cores']}] | {r['pages']} | {r['sec']} | {r['pages_per_sec']} | {r['html_mb_per_sec']} |\n"
+                    for r in v["levels"]
+                )
+                + f"\nbest-rep speedup {LEVELS[0]}→{LEVELS[1]} cores (N→4N): **{v['speedup']:.2f}×**  \n"
+                f"per-pair efficiencies (adjacent lo/hi runs): {v['pair_efficiencies']}  \n"
+                f"engine efficiency vs hardware ceiling: **{v['engine_efficiency_vs_hw']}**  \n"
+                f"scaling efficiency (upper-median pair, raw): **{v['efficiency']:.3f}** (gate ≥ 0.8 raw or vs-hw → "
+                + ("**PASS**" if v["pass"] else "**FAIL**")
+                + ")\n"
+            )
         with open(md_path, "w") as f:
             f.write(
                 "# BENCH/BASELINE — measured scaling evidence\n\n"
                 "Protocol per /root/repo/BASELINE.md: identical extraction job, same\n"
                 f"pre-generated input ({N_PAGES} synthetic CC-style pages), fresh JVM per\n"
-                "level, AQE on, shuffle partitions = 2×cores.\n\n"
+                "level, AQE on, shuffle partitions = 2×cores. Both production variants\n"
+                "are measured first-class: the scan-aligned default and the salted\n"
+                "shuffle-inclusive path.\n\n"
                 "Each level runs CPU-pinned (`taskset -c 0..N-1`) so JVM task threads,\n"
                 "shuffle, Arrow serialization and python workers all share exactly N\n"
                 "cores — a faithful N-core-cluster stand-in (unpinned local[N] would\n"
                 "consume ~2N cores and fake poor scaling). Levels 4 and 16 keep the\n"
                 "high level at half the box, clear of the 32-thread memory-bandwidth\n"
                 "knee. An untimed 2k-page warmup precedes each timed run.\n\n"
-                "| level | pages | sec | pages/sec | html MB/sec |\n|---|---|---|---|---|\n"
-                + "".join(
-                    f"| local[{r['cores']}] | {r['pages']} | {r['sec']} | {r['pages_per_sec']} | {r['html_mb_per_sec']} |\n"
-                    for r in results
-                )
-                + f"\nbest-rep speedup {LEVELS[0]}→{LEVELS[1]} cores (N→4N): **{speedup:.2f}×**  \n"
-                f"per-pair efficiencies (adjacent lo/hi runs): {pair_effs}  \n"
-                f"hardware ceiling (pure-python multiprocessing, same pinned sets, no\n"
+                f"Hardware ceiling (pure-python multiprocessing, same pinned sets, no\n"
                 f"Spark): {hw[LEVELS[0]]['pages_per_sec']} → {hw[LEVELS[1]]['pages_per_sec']} p/s, "
                 f"ceiling efficiency {hw_eff} — the machine's own memory-bandwidth/SMT\n"
-                f"limit; a real cluster adds memory channels with executors.  \n"
-                f"engine efficiency vs hardware ceiling: **{engine_eff}**  \n"
-                f"scaling efficiency (upper-median pair, raw; full list above): **{efficiency:.3f}** (gate ≥ 0.8 raw or vs-hw → "
+                f"limit; a real cluster adds memory channels with executors.\n\n"
+                + "\n".join(var_blocks)
+                + "\nOverall gate (both variants): "
                 + ("**PASS**" if summary["pass"] else "**FAIL**")
-                + ")\n\nThroughput is auditable against the lineage table: "
+                + "\n\nThroughput is auditable against the lineage table: "
                 "`ocr_machine_spark.plans.lineage` records per-bucket rows/bytes.\n"
                 + history
             )
@@ -269,10 +307,12 @@ if __name__ == "__main__":
     ap.add_argument("--cores", type=int)
     ap.add_argument("--hwref", type=int)
     ap.add_argument("--input")
+    ap.add_argument("--variant", default="salted_shuffle",
+                    choices=["salted_shuffle", "scan_aligned"])
     args = ap.parse_args()
     if args.hwref:
         print(json.dumps(_hw_ref(args.hwref, args.input)))
     elif args.cores:
-        print(json.dumps(_measure(args.cores, args.input)))
+        print(json.dumps(_measure(args.cores, args.input, args.variant)))
     else:
         _orchestrate()

@@ -405,7 +405,10 @@ def _minhash_lsh_pairs(spark, sf_dir):
 
 
 def _simhash_near_pairs(spark, sf_dir):
-    sig = D.simhash(_t(spark, sf_dir, "documents"))
+    # materialize signatures once — the chunk-bucket self-join in
+    # simhash_near_pairs would otherwise recompute the whole explode+vote
+    # aggregate for both join sides. O(docs) rows of (id, long).
+    sig = D.simhash(_t(spark, sf_dir, "documents")).localCheckpoint(eager=True)
     return D.simhash_near_pairs(sig, max_hamming=3)
 
 

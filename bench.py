@@ -69,13 +69,24 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, "/root/testdata/sf0.001").count()
 
+    # each query runs twice at sf: the FIRST rep still pays any residual
+    # one-time cost the sf0.001 warmup didn't cover (plan-width-dependent
+    # codegen, shuffle-service spin-up) plus whatever host noise hit it; the
+    # SECOND rep is steady state — the quantity that scales to 100 TB, where
+    # compile happens once per executor lifetime. Both are published
+    # (queries = steady, queries_cold = first rep) so one-time compile can
+    # never masquerade as per-row cost, or vice versa.
     times: dict[str, float] = {}
+    times_cold: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()  # full materialization of the result
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        reps = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = df.count()  # full materialization of the result
+            reps.append(round(time.perf_counter() - t0, 3))
+        times_cold[name], times[name] = reps[0], reps[1]
+        print(f"  {name}: {times[name]}s steady / {reps[0]}s first ({n} rows)", file=sys.stderr)
 
     # extraction throughput: generate once (not timed), then timed extract
     from ocr_machine_spark.operators.extraction import extract_pages
@@ -113,6 +124,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_cold": times_cold,
                 "sf": sf,
                 "pages_per_sec": pages_per_sec,
                 "html_mb_per_sec": mb_per_sec,

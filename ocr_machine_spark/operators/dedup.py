@@ -163,7 +163,12 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates → exact-Jaccard verification (candidate-only join)."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, k=k, n_hashes=n_hashes, key=key, text=text)
+    # materialize signatures once: the band-bucket self-join otherwise
+    # recomputes the whole shingle->minhash pipeline for BOTH sides. O(docs)
+    # rows of (key, 32 longs) — at 10^12 docs persist to a table instead.
+    sig = minhash_signatures(docs, k=k, n_hashes=n_hashes, key=key, text=text).localCheckpoint(
+        eager=True
+    )
     cand = lsh_candidate_pairs(sig, bands=bands, rows_per_band=rows_per_band, key=key)
     sh = shingle_rows(docs, k, key, text).cache()
     sizes = sh.groupBy(key).agg(F.count("*").alias("n"))
@@ -195,9 +200,9 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, key: str = "doc_id") -> Da
     round, a doc's label becomes the min of its own and its neighbors'
     labels; near-dup components are tiny (dozens), so rounds ≈ component
     diameter and each round is one shuffle on the edge key. At web scale with
-    adversarially long chains, switch to the large-star/small-star variant
-    (alternation halves diameter per round); the fixpoint loop and
-    convergence check are identical.
+    adversarially long chains, use :func:`dedup_clusters_star` (alternating
+    large-star/small-star — O(log n) rounds on any graph, same output
+    contract; equivalence is pinned by tests/test_dedup_ops.py).
 
     Deterministic: fixpoint of a monotone min — independent of partitioning
     and iteration interleave.
@@ -207,9 +212,12 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, key: str = "doc_id") -> Da
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .union(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    labels = ids.withColumn("rep", F.col("node")).cache()
+    # localCheckpoint (not cache): each round's plan must START from the
+    # previous round's materialized labels — cache keeps the logical plan,
+    # which doubles per round and OOMs the driver on diameter>10 chains
+    labels = ids.withColumn("rep", F.col("node")).localCheckpoint(eager=True)
     while True:
         neighbor_min = (
             edges.join(labels, edges.y == labels.node)
@@ -222,7 +230,7 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, key: str = "doc_id") -> Da
                 "node",
                 F.least(F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))).alias("rep"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -230,13 +238,89 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, key: str = "doc_id") -> Da
             .filter(F.col("n.rep") != F.col("o.rep"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
     return labels.select(
         F.col("node").alias(key), "rep", (F.col("node") == F.col("rep")).alias("keep")
+    )
+
+
+def dedup_clusters_star(docs: DataFrame, pairs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — same
+    output contract as :func:`dedup_clusters` (node → component-min ``rep``,
+    ``keep = (node == rep)``), different convergence shape: O(log n) rounds
+    on ANY graph, where plain min-label propagation needs component-diameter
+    rounds (an adversarial 10^6-long near-dup chain = 10^6 shuffles there,
+    ~20 here).
+
+    Per round both steps are one groupBy + one join on the edge key; edges
+    only ever point toward smaller ids, so the edge set monotonically
+    approaches the star graph centered at each component's minimum.
+    Deterministic: pure min arithmetic, no partitioning sensitivity. Lineage
+    is truncated every round (localCheckpoint) so plans stay flat.
+    """
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("u", "mn").alias("m"))
+        return (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        m = o.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("u", "mn").alias("m"))
+        return (
+            o.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # fixpoint test: the edge set is deterministic per round, so an
+    # order-insensitive fingerprint (count + xor of row hashes — xor, not
+    # sum, so ANSI overflow can't fire) detects stability in one tiny agg
+    def _sig(e: DataFrame):
+        return e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+
+    prev_sig = _sig(edges)
+    while True:
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        nxt_sig = _sig(nxt)
+        edges = nxt
+        if nxt_sig == prev_sig:
+            break
+        prev_sig = nxt_sig
+    # converged: every edge is (node, component_min); isolated docs are their
+    # own component
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("rep"))
+    ids = docs.select(F.col(key).alias("node")).distinct()
+    return (
+        ids.join(labels, "node", "left")
+        .select(
+            F.col("node").alias(key),
+            F.coalesce("rep", F.col("node")).alias("rep"),
+            (F.coalesce("rep", F.col("node")) == F.col("node")).alias("keep"),
+        )
     )
 
 
@@ -262,11 +346,11 @@ def simhash(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFra
     before the shuffle, so shuffle volume is O(docs), not O(words) — and the
     whole operator is whole-stage-codegen JVM (interpreted higher-order
     lambdas and per-word Python both benchmarked 10-30× slower)."""
-    ids = docs.select(F.col(key).alias("doc_id"))
-    w = docs.select(
-        F.col(key).alias("doc_id"),
-        F.explode(F.array_distinct(F.split(norm_text(F.col(text)), " "))).alias("w"),
-    ).filter(F.col("w") != "")
+    # explode_outer over the ''-purged word array keeps empty/null-text docs
+    # as one null-word row (votes NULL -> all bits 0), so no restore-join is
+    # needed afterwards — one fewer join/exchange in the plan
+    words = F.array_remove(F.array_distinct(F.split(norm_text(F.col(text)), " ")), "")
+    w = docs.select(F.col(key).alias("doc_id"), F.explode_outer(words).alias("w"))
     h = F.xxhash64("w")
     # lane packing: sum m accumulates bits m and m+32 of every word hash in
     # one long (32-bit lanes at bit 0 and bit 32), halving the aggregate
@@ -289,16 +373,21 @@ def simhash(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFra
         sim = sim.bitwiseOR(
             F.when(cnt * 2 > F.col("n"), bit).otherwise(F.lit(0).cast("long"))
         )
-    sigs = votes.select("doc_id", sim.alias("simhash"))
-    # docs with no words (null/empty text) sign as 0 — restore them
-    return ids.join(sigs, "doc_id", "left").select(
-        "doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
-    )
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Candidate pairs by 16-bit chunk equality (4 chunks ⇒ any pair with
-    Hamming ≤ 3 shares a chunk), verified by exact popcount."""
+    Hamming ≤ 3 shares a chunk), verified by exact popcount.
+
+    First-match dedup instead of ``distinct``: a pair is emitted only at its
+    FIRST matching chunk (all earlier chunks must differ — checkable locally
+    because both full signatures ride the join row), so every pair appears
+    exactly once by construction and the wide-row distinct shuffle is gone.
+    On clustered corpora (many identical signatures) the 4-chunk multiplicity
+    made that shuffle the stage bottleneck (sf0.1: 1.5M candidate rows for
+    0.5M unique pairs); at 100 TB the same skew shape is the norm, not the
+    exception."""
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -311,13 +400,21 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     ).select("doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
     a = chunks.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "c", "v")
     b = chunks.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), "c", "v")
+
+    def _chunk(col: str, c: int) -> F.Column:
+        return F.shiftright(col, 16 * c).bitwiseAND(F.lit(0xFFFF))
+
+    # joined at chunk c ⇒ require chunks 0..c-1 to differ (first match wins)
+    first_match = F.lit(True)
+    for cp in range(3):
+        first_match = first_match & ~(
+            (F.col("c") > cp) & (_chunk("sa", cp) == _chunk("sb", cp))
+        )
     # long, not int: result-type parity with the DuckDB twin's BIGINT cast
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
     return (
         a.join(b, ["c", "v"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sa", "sb")
-        .distinct()
+        .filter((F.col("a") < F.col("b")) & first_match)
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")

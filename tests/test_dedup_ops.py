@@ -28,3 +28,37 @@ def test_dedup_clusters_partitioning_invariant(spark):
     a = dedup_clusters(docs, pairs).orderBy("doc_id").collect()
     b = dedup_clusters(docs.repartition(7), pairs.repartition(3)).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_dedup_clusters_star_equivalence(spark):
+    """large-star/small-star components == min-label propagation on
+    adversarial shapes: a long chain (worst case for propagation), a clique,
+    a reversed chain, two bridged stars, and isolated nodes."""
+    from ocr_machine_spark.operators.dedup import dedup_clusters_star
+
+    n = 40
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = [(i, i + 1) for i in range(0, 12)]                 # 0..12 chain
+    rev_chain = [(i + 1, i) for i in range(13, 19)]            # edges given b<a
+    clique = [(a, b) for a in range(20, 25) for b in range(a + 1, 25)]
+    bridged = [(30, 31), (30, 32), (33, 34), (33, 35), (32, 33)]
+    pairs = spark.createDataFrame(chain + rev_chain + clique + bridged, "a long, b long")
+    ref = {r["doc_id"]: (r["rep"], r["keep"]) for r in dedup_clusters(docs, pairs).collect()}
+    star = {r["doc_id"]: (r["rep"], r["keep"]) for r in dedup_clusters_star(docs, pairs).collect()}
+    assert star == ref
+    # spot-check the contract directly
+    assert star[12] == (0, False) and star[0] == (0, True)
+    assert star[35] == (30, False)
+    assert star[39] == (39, True)
+
+
+def test_dedup_clusters_star_partitioning_invariant(spark):
+    from ocr_machine_spark.operators.dedup import dedup_clusters_star
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 18, 2)] + [(1, 3), (17, 19)], "a long, b long"
+    )
+    a = dedup_clusters_star(docs, pairs).orderBy("doc_id").collect()
+    b = dedup_clusters_star(docs.repartition(7), pairs.repartition(3)).orderBy("doc_id").collect()
+    assert a == b
