@@ -394,10 +394,14 @@ def _jaccard_pairs_3gram(spark, sf_dir):
 def _dedup_keep_list(spark, sf_dir):
     """Pair graph → connected components → survivor per cluster (min id).
     The retention stage of the dedup ladder; DuckDB twin resolves the same
-    components with a recursive-CTE transitive closure."""
+    components with a recursive-CTE transitive closure. Runs the
+    large-star/small-star variant — the O(log n)-rounds shape that survives
+    adversarial chain components at 10^12 docs — so the driver gates the
+    scale path; min-label propagation equivalence is pinned in
+    tests/test_dedup_ops.py."""
     docs = _t(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, k=3, threshold=0.2)
-    return D.dedup_clusters(docs, pairs)
+    return D.dedup_clusters_star(docs, pairs)
 
 
 def _minhash_lsh_pairs(spark, sf_dir):

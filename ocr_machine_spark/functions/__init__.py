@@ -51,6 +51,28 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """``dot`` with the fold unrolled to ``0.0 + a[1]*b[1] + a[2]*b[2] + …``
+    for a KNOWN dim — the identical left-to-right IEEE operation sequence
+    (same values bit-for-bit, same DuckDB parity), but whole-stage-codegen
+    compiles it, where the ``aggregate`` lambda stays interpreted (measured
+    10-30× slower per element). Use on full-scan scoring paths; keep ``dot``
+    for dim-agnostic call sites."""
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(a, i) * F.element_at(b, i)
+    return acc
+
+
+def dot_literal(a: Column, weights: list[float]) -> Column:
+    """``dot_unrolled`` against a Python-side constant vector — the plane /
+    centroid side folds to literals instead of ``element_at`` probes."""
+    acc = F.lit(0.0)
+    for i, w in enumerate(weights, start=1):
+        acc = acc + F.element_at(a, i) * F.lit(float(w))
+    return acc
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 

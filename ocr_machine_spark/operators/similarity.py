@@ -18,7 +18,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ocr_machine_spark.functions import cosine, dot, fixed_point
+from ocr_machine_spark.functions import cosine, dot, dot_literal, dot_unrolled, fixed_point
+
+
+def _dim_of(emb: DataFrame, vec: str) -> int:
+    """Embedding width from the first row (1 on empty input — any dim yields
+    the correct empty result with the right schema)."""
+    head = emb.select(vec).first()
+    return len(head[0]) if head is not None and head[0] is not None else 1
 
 
 def cosine_topk(
@@ -28,23 +35,37 @@ def cosine_topk(
     *,
     key: str = "vec_id",
     vec: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbours for each query id.
 
     Plan shape: tiny query side → broadcast hash join (no shuffle of the big
     side); per-query top-k via dense window on (score desc, id asc) — the
     deterministic tiebreak keeps results stable across partitionings.
+
+    The scan-side inner loop is ``dot_unrolled`` (codegen'd, same IEEE
+    sequence as the interpreted ``dot`` — hash parity preserved), and each
+    side's norm is computed ONCE per row BEFORE the join instead of once per
+    (row, query) pair — at 10^12 rows that removes |Q| redundant norm passes
+    over the table.
     """
     from pyspark.sql.window import Window
 
-    base = emb.select(F.col(key).alias("nid"), F.col(vec).cast("array<double>").alias("v"))
-    q = (
-        emb.filter(F.col(key).isin(query_ids))
-        .select(F.col(key).alias("qid"), F.col(vec).cast("array<double>").alias("qv"))
+    dim = dim or _dim_of(emb, vec)
+    v = F.col(vec).cast("array<double>")
+    base = emb.select(
+        F.col(key).alias("nid"),
+        v.alias("v"),
+        F.sqrt(dot_unrolled(v, v, dim)).alias("vn"),
     )
-    scored = (
-        base.join(F.broadcast(q), F.col("nid") != F.col("qid"))
-        .withColumn("sim_e4", fixed_point(cosine(F.col("qv"), F.col("v"))))
+    q = emb.filter(F.col(key).isin(query_ids)).select(
+        F.col(key).alias("qid"),
+        v.alias("qv"),
+        F.sqrt(dot_unrolled(v, v, dim)).alias("qn"),
+    )
+    sim = dot_unrolled(F.col("qv"), F.col("v"), dim) / (F.col("qn") * F.col("vn"))
+    scored = base.join(F.broadcast(q), F.col("nid") != F.col("qid")).withColumn(
+        "sim_e4", fixed_point(sim)
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim_e4").desc(), F.col("nid").asc())
     return (
