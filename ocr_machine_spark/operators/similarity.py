@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ocr_machine_spark.functions import cosine, dot, dot_literal, dot_unrolled, fixed_point
+from ocr_machine_spark.functions import dot_literal, dot_unrolled, fixed_point
 
 
 def _dim_of(emb: DataFrame, vec: str) -> int:
@@ -168,20 +168,38 @@ def _planes(dim: int, n_planes: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _py_l2(vec) -> float:
+    """Left-to-right ``sqrt(((0.0 + v1*v1) + v2*v2) + …)`` in Python floats —
+    the SAME IEEE double sequence as the JVM ``l2_norm`` fold and DuckDB's
+    ``sqrt(list_dot_product(v, v))``, so a constant vector's norm can be
+    folded driver-side without breaking the oracle value hash."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def srp_buckets(emb: DataFrame, *, dim: int, n_planes: int = 16, key: str = "vec_id", vec: str = "embedding") -> DataFrame:
     """Signed-random-projection bucket id per vector — pure JVM expressions
     with literal hyperplanes. Dot products go through the engine-wide
     sequential ``dot`` (left-to-right aggregate), which is bit-identical to
     DuckDB's ``list_dot_product`` — that's what makes the ANN query
     hash-oracle-able (a numpy matmul has no defined summation order, so a
-    near-zero projection could flip a bucket bit between engines)."""
+    near-zero projection could flip a bucket bit between engines).
+
+    Each projection is ``dot_literal`` — the plane folds to codegen'd literal
+    multiply-adds (identical IEEE sequence to the interpreted ``dot`` it
+    replaces), so the n_planes dots per row run inside whole-stage codegen."""
     planes = _planes(dim, n_planes)
     v = F.col(vec).cast("array<double>")
     bucket = F.lit(0).cast("long")
     for j in range(n_planes):
-        pj = F.array(*[F.lit(float(x)) for x in planes[j]])
         bucket = bucket.bitwiseOR(
-            F.when(dot(v, pj) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(dot_literal(v, list(planes[j])) > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     return emb.select(F.col(key).alias("vec_id"), bucket.alias("bucket"))
 
@@ -232,6 +250,7 @@ def ann_topk_ivf(
     n_probe: int = 4,
     key: str = "vec_id",
     vec: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector to its nearest centroid
     cell, probe the query's ``n_probe`` closest cells, exact cosine + top-k
@@ -257,40 +276,48 @@ def ann_topk_ivf(
         .select(F.col(key), F.col(vec).cast("array<double>"))
         .collect()
     )
+    dim = dim or (len(cents[0][1]) if cents else 1)
     v = F.col(vec).cast("array<double>")
+    # centroid norms fold driver-side (_py_l2 — same IEEE sequence as the JVM
+    # fold); the vector's own norm is computed once per row, so every
+    # centroid cosine is codegen'd literal multiply-adds + one division
+    cnorms = {cid: _py_l2(cvec) for cid, cvec in cents}
 
-    def cell_of(vcol):
+    def cell_of(vcol, vn):
         # (sim, -cid) struct max ≡ ORDER BY sim DESC, cid ASC LIMIT 1
         scored = [
             F.struct(
-                cosine(vcol, F.array(*[F.lit(x) for x in cvec])).alias("sim"),
+                (dot_literal(vcol, cvec) / (vn * F.lit(cnorms[cid]))).alias("sim"),
                 F.lit(-cid).alias("negid"),
             )
             for cid, cvec in cents
         ]
         return -F.array_max(F.array(*scored))["negid"]
 
-    base = emb.select(F.col(key).alias("nid"), v.alias("v")).withColumn("cell", cell_of(F.col("v")))
+    base = emb.select(
+        F.col(key).alias("nid"), v.alias("v"), F.sqrt(dot_unrolled(v, v, dim)).alias("vn")
+    ).withColumn("cell", cell_of(F.col("v"), F.col("vn")))
     probe_structs = [
         F.struct(
-            cosine(F.col("qv"), F.array(*[F.lit(x) for x in cvec])).alias("sim"),
+            (dot_literal(F.col("qv"), cvec) / (F.col("qn") * F.lit(cnorms[cid]))).alias("sim"),
             F.lit(-cid).alias("negid"),
         )
         for cid, cvec in cents
     ]
     q = (
         emb.filter(F.col(key).isin(query_ids))
-        .select(F.col(key).alias("qid"), v.alias("qv"))
+        .select(F.col(key).alias("qid"), v.alias("qv"), F.sqrt(dot_unrolled(v, v, dim)).alias("qn"))
         .withColumn(
             "probes",
             F.slice(F.reverse(F.array_sort(F.array(*probe_structs))), 1, n_probe),
         )
-        .select("qid", "qv", F.explode("probes").alias("p"))
-        .select("qid", "qv", (-F.col("p.negid")).alias("qcell"))
+        .select("qid", "qv", "qn", F.explode("probes").alias("p"))
+        .select("qid", "qv", "qn", (-F.col("p.negid")).alias("qcell"))
     )
+    sim = dot_unrolled(F.col("qv"), F.col("v"), dim) / (F.col("qn") * F.col("vn"))
     scored = (
         base.join(F.broadcast(q), (F.col("cell") == F.col("qcell")) & (F.col("nid") != F.col("qid")))
-        .withColumn("sim_e4", fixed_point(cosine(F.col("qv"), F.col("v"))))
+        .withColumn("sim_e4", fixed_point(sim))
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim_e4").desc(), F.col("nid").asc())
     return (
@@ -311,21 +338,27 @@ def ann_topk_lsh(
     vec: str = "embedding",
 ) -> DataFrame:
     """ANN: only score candidates sharing the query's SRP bucket.
-    Recall < 1 by design; the bench compares it against cosine_topk."""
+    Recall < 1 by design; the bench compares it against cosine_topk.
+
+    Scoring mirrors ``cosine_topk``: codegen'd ``dot_unrolled`` + one norm per
+    row computed before the join (same IEEE sequence as ``cosine`` — oracle
+    hash unchanged)."""
     from pyspark.sql.window import Window
 
     buckets = srp_buckets(emb, dim=dim, n_planes=n_planes, key=key, vec=vec)
-    base = emb.select(F.col(key).alias("nid"), F.col(vec).cast("array<double>").alias("v")).join(
-        buckets.select(F.col("vec_id").alias("nid"), "bucket"), "nid"
-    )
+    v = F.col(vec).cast("array<double>")
+    base = emb.select(
+        F.col(key).alias("nid"), v.alias("v"), F.sqrt(dot_unrolled(v, v, dim)).alias("vn")
+    ).join(buckets.select(F.col("vec_id").alias("nid"), "bucket"), "nid")
     q = (
         emb.filter(F.col(key).isin(query_ids))
-        .select(F.col(key).alias("qid"), F.col(vec).cast("array<double>").alias("qv"))
+        .select(F.col(key).alias("qid"), v.alias("qv"), F.sqrt(dot_unrolled(v, v, dim)).alias("qn"))
         .join(buckets.select(F.col("vec_id").alias("qid"), F.col("bucket").alias("qbucket")), "qid")
     )
+    sim = dot_unrolled(F.col("qv"), F.col("v"), dim) / (F.col("qn") * F.col("vn"))
     scored = (
         base.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("nid") != F.col("qid")))
-        .withColumn("sim_e4", fixed_point(cosine(F.col("qv"), F.col("v"))))
+        .withColumn("sim_e4", fixed_point(sim))
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim_e4").desc(), F.col("nid").asc())
     return (
