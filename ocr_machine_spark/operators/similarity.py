@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ocr_machine_spark.functions import dot_literal, dot_unrolled, fixed_point
+from ocr_machine_spark.functions import dot_literal_sql, dot_unrolled_sql, fixed_point
 
 
 def _dim_of(emb: DataFrame, vec: str) -> int:
@@ -43,27 +43,26 @@ def cosine_topk(
     side); per-query top-k via dense window on (score desc, id asc) — the
     deterministic tiebreak keeps results stable across partitionings.
 
-    The scan-side inner loop is ``dot_unrolled`` (codegen'd, same IEEE
-    sequence as the interpreted ``dot`` — hash parity preserved), and each
-    side's norm is computed ONCE per row BEFORE the join instead of once per
-    (row, query) pair — at 10^12 rows that removes |Q| redundant norm passes
-    over the table.
+    The scan-side inner loop is ``dot_unrolled_sql`` (codegen'd, same IEEE
+    sequence as the interpreted ``dot`` — hash parity preserved; built as ONE
+    SQL string so the driver pays one expr parse, not ~3·dim py4j calls), and
+    each side's norm is computed ONCE per row BEFORE the join instead of once
+    per (row, query) pair — at 10^12 rows that removes |Q| redundant norm
+    passes over the table.
     """
     from pyspark.sql.window import Window
 
     dim = dim or _dim_of(emb, vec)
     v = F.col(vec).cast("array<double>")
-    base = emb.select(
-        F.col(key).alias("nid"),
-        v.alias("v"),
-        F.sqrt(dot_unrolled(v, v, dim)).alias("vn"),
+    norm = f"SQRT({dot_unrolled_sql('v', 'v', dim)})"
+    base = emb.select(F.col(key).alias("nid"), v.alias("v")).withColumn("vn", F.expr(norm))
+    q = (
+        emb.filter(F.col(key).isin(query_ids))
+        .select(F.col(key).alias("qid"), v.alias("v"))
+        .withColumn("qn", F.expr(norm))
+        .withColumnsRenamed({"v": "qv"})
     )
-    q = emb.filter(F.col(key).isin(query_ids)).select(
-        F.col(key).alias("qid"),
-        v.alias("qv"),
-        F.sqrt(dot_unrolled(v, v, dim)).alias("qn"),
-    )
-    sim = dot_unrolled(F.col("qv"), F.col("v"), dim) / (F.col("qn") * F.col("vn"))
+    sim = F.expr(f"{dot_unrolled_sql('qv', 'v', dim)} / (qn * vn)")
     scored = base.join(F.broadcast(q), F.col("nid") != F.col("qid")).withColumn(
         "sim_e4", fixed_point(sim)
     )
@@ -189,19 +188,19 @@ def srp_buckets(emb: DataFrame, *, dim: int, n_planes: int = 16, key: str = "vec
     hash-oracle-able (a numpy matmul has no defined summation order, so a
     near-zero projection could flip a bucket bit between engines).
 
-    Each projection is ``dot_literal`` — the plane folds to codegen'd literal
-    multiply-adds (identical IEEE sequence to the interpreted ``dot`` it
-    replaces), so the n_planes dots per row run inside whole-stage codegen."""
+    Each projection is ``dot_literal_sql`` — the plane folds to codegen'd
+    literal multiply-adds (identical IEEE sequence to the interpreted ``dot``
+    it replaces), so the n_planes dots per row run inside whole-stage
+    codegen; the whole bucket expression is ONE driver-side expr parse."""
     planes = _planes(dim, n_planes)
-    v = F.col(vec).cast("array<double>")
-    bucket = F.lit(0).cast("long")
-    for j in range(n_planes):
-        bucket = bucket.bitwiseOR(
-            F.when(dot_literal(v, list(planes[j])) > 0, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return emb.select(F.col(key).alias("vec_id"), bucket.alias("bucket"))
+    bucket = " | ".join(
+        f"(CASE WHEN {dot_literal_sql('__v', list(planes[j]))} > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(n_planes)
+    )
+    return emb.select(
+        F.col(key).alias("vec_id"), F.col(vec).cast("array<double>").alias("__v")
+    ).selectExpr("vec_id", f"({bucket}) AS bucket")
 
 
 def srp_band_buckets(
@@ -260,9 +259,10 @@ def ann_topk_ivf(
     vectors with the ``n_cells`` smallest ids (the seeded stand-in for a
     k-means fit — swapping in trained centroids changes only this fetch).
     Centroids are collected once (n_cells rows — model parameters, not data)
-    and inlined as literals, so cell assignment is a pure JVM expression and
-    the whole operator is SQL-replicable (sequential dots ⇒ bit-identical
-    argmax on both engines).
+    and closure-broadcast into an Arrow-batched numpy quantizer whose sums
+    run in sequential order (cumsum trick) — bit-identical cosines, so the
+    argmax/probe choice and the final scores match the DuckDB twin exactly
+    and the operator stays SQL-replicable.
 
     Scale shape: assignment is per-row compute (no shuffle); the search is an
     equi-join on cell id — at 10^12 rows each query touches n_probe cells,
@@ -276,45 +276,68 @@ def ann_topk_ivf(
         .select(F.col(key), F.col(vec).cast("array<double>"))
         .collect()
     )
-    dim = dim or (len(cents[0][1]) if cents else 1)
-    v = F.col(vec).cast("array<double>")
-    # centroid norms fold driver-side (_py_l2 — same IEEE sequence as the JVM
-    # fold); the vector's own norm is computed once per row, so every
-    # centroid cosine is codegen'd literal multiply-adds + one division
-    cnorms = {cid: _py_l2(cvec) for cid, cvec in cents}
-
-    def cell_of(vcol, vn):
-        # (sim, -cid) struct max ≡ ORDER BY sim DESC, cid ASC LIMIT 1
-        scored = [
-            F.struct(
-                (dot_literal(vcol, cvec) / (vn * F.lit(cnorms[cid]))).alias("sim"),
-                F.lit(-cid).alias("negid"),
-            )
-            for cid, cvec in cents
-        ]
-        return -F.array_max(F.array(*scored))["negid"]
-
-    base = emb.select(
-        F.col(key).alias("nid"), v.alias("v"), F.sqrt(dot_unrolled(v, v, dim)).alias("vn")
-    ).withColumn("cell", cell_of(F.col("v"), F.col("vn")))
-    probe_structs = [
-        F.struct(
-            (dot_literal(F.col("qv"), cvec) / (F.col("qn") * F.lit(cnorms[cid]))).alias("sim"),
-            F.lit(-cid).alias("negid"),
+    if not cents:
+        return emb.sparkSession.createDataFrame(
+            [], "qid long, neighbor_id long, sim_e4 long, rk long"
         )
-        for cid, cvec in cents
-    ]
+    dim = dim or len(cents[0][1])
+    # Cell assignment is the per-row O(n_cells·dim) quantizer — the table-scan
+    # hot loop. Run it as ONE Arrow-batched numpy stage: products summed with
+    # the cumsum sequential-order trick (see _seq_cosine_verify), so every
+    # centroid cosine is bit-identical to the JVM/DuckDB sequential dot and
+    # the argmax picks the same cell — but the work is a SIMD batch op with
+    # zero codegen. (An unrolled-SQL variant was measured: Janino spends
+    # seconds compiling the 16×64-term method on EVERY plan — per-invocation
+    # compile, since generated sources embed fresh expr ids.)
+    cmat = np.array([cvec for _, cvec in cents], dtype=np.float64)  # (C, dim)
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)  # ascending
+    cn = np.array([_py_l2(cvec) for _, cvec in cents], dtype=np.float64)
+
+    def _cell_sims(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(rows, dim) → (per-row norm, (rows, C) cosine vs every centroid),
+        both in sequential summation order."""
+        vn = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        d = np.cumsum(mat[:, None, :] * cmat[None, :, :], axis=2)[:, :, -1]
+        return vn, d / (vn[:, None] * cn[None, :])
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[key].to_numpy()
+            mat = np.vstack(pdf[vec].to_numpy()).astype(np.float64)  # exact widening
+            vn, sims = _cell_sims(mat)
+            # first max ≡ ORDER BY sim DESC, cid ASC (cids ascending)
+            cell = cids[np.argmax(sims, axis=1)]
+            yield pd.DataFrame({"nid": ids, "v": list(mat), "vn": vn, "cell": cell})
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[key].to_numpy()
+            mat = np.vstack(pdf[vec].to_numpy()).astype(np.float64)
+            qn, sims = _cell_sims(mat)
+            rows = {"qid": [], "qv": [], "qn": [], "qcell": []}
+            for i in range(len(ids)):
+                order = np.lexsort((cids, -sims[i]))[:n_probe]  # sim desc, cid asc
+                for j in order:
+                    rows["qid"].append(ids[i])
+                    rows["qv"].append(mat[i])
+                    rows["qn"].append(qn[i])
+                    rows["qcell"].append(cids[j])
+            yield pd.DataFrame(rows)
+
+    base = emb.select(key, vec).mapInPandas(
+        assign, schema="nid long, v array<double>, vn double, cell long"
+    )
     q = (
         emb.filter(F.col(key).isin(query_ids))
-        .select(F.col(key).alias("qid"), v.alias("qv"), F.sqrt(dot_unrolled(v, v, dim)).alias("qn"))
-        .withColumn(
-            "probes",
-            F.slice(F.reverse(F.array_sort(F.array(*probe_structs))), 1, n_probe),
-        )
-        .select("qid", "qv", "qn", F.explode("probes").alias("p"))
-        .select("qid", "qv", "qn", (-F.col("p.negid")).alias("qcell"))
+        .select(key, vec)
+        .mapInPandas(probe, schema="qid long, qv array<double>, qn double, qcell long")
     )
-    sim = dot_unrolled(F.col("qv"), F.col("v"), dim) / (F.col("qn") * F.col("vn"))
+    # candidate scoring: codegen'd unrolled dot (one expr parse; norms ride in)
+    sim = F.expr(f"{dot_unrolled_sql('qv', 'v', dim)} / (qn * vn)")
     scored = (
         base.join(F.broadcast(q), (F.col("cell") == F.col("qcell")) & (F.col("nid") != F.col("qid")))
         .withColumn("sim_e4", fixed_point(sim))
@@ -340,22 +363,27 @@ def ann_topk_lsh(
     """ANN: only score candidates sharing the query's SRP bucket.
     Recall < 1 by design; the bench compares it against cosine_topk.
 
-    Scoring mirrors ``cosine_topk``: codegen'd ``dot_unrolled`` + one norm per
-    row computed before the join (same IEEE sequence as ``cosine`` — oracle
-    hash unchanged)."""
+    Scoring mirrors ``cosine_topk``: codegen'd ``dot_unrolled_sql`` (one expr
+    parse) + one norm per row computed before the join (same IEEE sequence as
+    ``cosine`` — oracle hash unchanged)."""
     from pyspark.sql.window import Window
 
     buckets = srp_buckets(emb, dim=dim, n_planes=n_planes, key=key, vec=vec)
     v = F.col(vec).cast("array<double>")
-    base = emb.select(
-        F.col(key).alias("nid"), v.alias("v"), F.sqrt(dot_unrolled(v, v, dim)).alias("vn")
-    ).join(buckets.select(F.col("vec_id").alias("nid"), "bucket"), "nid")
+    norm = f"SQRT({dot_unrolled_sql('v', 'v', dim)})"
+    base = (
+        emb.select(F.col(key).alias("nid"), v.alias("v"))
+        .withColumn("vn", F.expr(norm))
+        .join(buckets.select(F.col("vec_id").alias("nid"), "bucket"), "nid")
+    )
     q = (
         emb.filter(F.col(key).isin(query_ids))
-        .select(F.col(key).alias("qid"), v.alias("qv"), F.sqrt(dot_unrolled(v, v, dim)).alias("qn"))
+        .select(F.col(key).alias("qid"), v.alias("v"))
+        .withColumn("qn", F.expr(norm))
+        .withColumnsRenamed({"v": "qv"})
         .join(buckets.select(F.col("vec_id").alias("qid"), F.col("bucket").alias("qbucket")), "qid")
     )
-    sim = dot_unrolled(F.col("qv"), F.col("v"), dim) / (F.col("qn") * F.col("vn"))
+    sim = F.expr(f"{dot_unrolled_sql('qv', 'v', dim)} / (qn * vn)")
     scored = (
         base.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("nid") != F.col("qid")))
         .withColumn("sim_e4", fixed_point(sim))
