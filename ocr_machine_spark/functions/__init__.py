@@ -51,28 +51,6 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """``dot`` with the fold unrolled to ``0.0 + a[1]*b[1] + a[2]*b[2] + …``
-    for a KNOWN dim — the identical left-to-right IEEE operation sequence
-    (same values bit-for-bit, same DuckDB parity), but whole-stage-codegen
-    compiles it, where the ``aggregate`` lambda stays interpreted (measured
-    10-30× slower per element). Use on full-scan scoring paths; keep ``dot``
-    for dim-agnostic call sites."""
-    acc = F.lit(0.0)
-    for i in range(1, dim + 1):
-        acc = acc + F.element_at(a, i) * F.element_at(b, i)
-    return acc
-
-
-def dot_literal(a: Column, weights: list[float]) -> Column:
-    """``dot_unrolled`` against a Python-side constant vector — the plane /
-    centroid side folds to literals instead of ``element_at`` probes."""
-    acc = F.lit(0.0)
-    for i, w in enumerate(weights, start=1):
-        acc = acc + F.element_at(a, i) * F.lit(float(w))
-    return acc
-
-
 def _dlit(x: float) -> str:
     """Exact SQL double literal: repr round-trips the IEEE value, the D
     suffix keeps Spark from parsing it as DECIMAL."""
@@ -80,13 +58,15 @@ def _dlit(x: float) -> str:
 
 
 def dot_unrolled_sql(a: str, b: str, dim: int) -> str:
-    """``dot_unrolled`` as ONE SQL expression string. Building the unrolled
-    tree Column-by-Column costs ~3·dim py4j round-trips PER DOT (measured
-    ~1.2s of driver time per query at dim=64); a single ``F.expr`` parse is
-    one round-trip and milliseconds JVM-side. SQL ``+`` is left-associative,
-    so the operation sequence — and therefore every IEEE bit — is identical
-    to ``dot``/``dot_unrolled``. ``a``/``b`` are SQL expressions yielding
-    array<double>."""
+    """``dot`` unrolled to ``0.0 + a[1]*b[1] + a[2]*b[2] + …`` for a KNOWN
+    dim, as ONE SQL expression string: whole-stage codegen compiles it (the
+    ``aggregate`` lambda stays interpreted — measured 10-30× slower per
+    element), and one ``F.expr`` parse costs one py4j round-trip where
+    building the tree Column-by-Column costs ~3·dim round-trips PER DOT
+    (measured ~1.2s of driver time per query at dim=64). SQL ``+`` is
+    left-associative, so the operation sequence — and therefore every IEEE
+    bit — is identical to ``dot``. ``a``/``b`` are SQL expressions yielding
+    array<double>; keep ``dot`` for dim-agnostic call sites."""
     terms = " + ".join(f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1))
     return f"(CAST(0.0 AS DOUBLE) + {terms})"
 

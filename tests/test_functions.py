@@ -1,0 +1,81 @@
+"""Bit-parity pins for the scalar-function surface.
+
+The engine's determinism contract (SURVEY.md §7) rests on every dot product —
+interpreted ``dot``, codegen'd ``dot_unrolled_sql``/``dot_literal_sql``, the
+numpy cumsum verify path, and driver-side ``_py_l2`` — performing the SAME
+left-to-right IEEE double sequence. These tests pin that equivalence at the
+bit level so a refactor that silently changes summation order (and thereby
+oracle value hashes) fails here, not in the driver gate.
+"""
+
+import math
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_machine_spark.functions import _dlit, dot, dot_literal_sql, dot_unrolled_sql
+from ocr_machine_spark.operators.similarity import _py_l2
+
+
+def _bits(x: float) -> bytes:
+    return struct.pack("<d", x)
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    rng = np.random.default_rng(123)
+    a = [float(x) for x in rng.standard_normal(64)]
+    b = [float(x) for x in rng.standard_normal(64)]
+    return a, b
+
+
+def test_sql_dots_bit_identical_to_aggregate_dot(spark, vecs):
+    a, b = vecs
+    df = spark.range(1).select(
+        F.array(*[F.lit(x) for x in a]).alias("va"),
+        F.array(*[F.lit(x) for x in b]).alias("vb"),
+    )
+    r = df.select(
+        dot(F.col("va"), F.col("vb")).alias("d_agg"),
+        F.expr(dot_unrolled_sql("va", "vb", 64)).alias("d_sql"),
+        F.expr(dot_literal_sql("va", b)).alias("d_lit"),
+    ).first()
+    assert _bits(r["d_agg"]) == _bits(r["d_sql"])
+    assert _bits(r["d_agg"]) == _bits(r["d_lit"])
+
+
+def test_dlit_round_trips_exact_doubles(spark):
+    vals = [1e-300, -2.5e300, 0.1, 1e-5, 123456789.123456789, -0.0, 7.0]
+    row = spark.range(1).select(
+        *[F.expr(_dlit(v)).alias(f"c{i}") for i, v in enumerate(vals)]
+    ).first()
+    for i, v in enumerate(vals):
+        assert _bits(row[i]) == _bits(float(v)), v
+
+
+def test_py_l2_matches_jvm_norm(spark, vecs):
+    a, _ = vecs
+    r = (
+        spark.range(1)
+        .select(F.array(*[F.lit(x) for x in a]).alias("va"))
+        .select(F.sqrt(dot(F.col("va"), F.col("va"))).alias("n"))
+        .first()
+    )
+    assert _bits(r["n"]) == _bits(_py_l2(a))
+
+
+def test_numpy_cumsum_matches_sequential_dot(vecs):
+    """The Arrow-batch verify/quantizer paths sum via np.cumsum along the
+    vector axis — same order as the scalar fold."""
+    a, b = vecs
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    d = np.cumsum(np.array(a) * np.array(b))[-1]
+    assert _bits(float(d)) == _bits(acc)
+    acc2 = 0.0
+    for x in a:
+        acc2 = acc2 + x * x
+    assert _bits(_py_l2(a)) == _bits(math.sqrt(acc2))
