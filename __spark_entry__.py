@@ -428,6 +428,14 @@ def _ann_ivf_topk(spark, sf_dir):
     return S.ann_topk_ivf(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, n_cells=16, n_probe=4)
 
 
+def _ivf_train_centroids(spark, sf_dir):
+    """Deterministic distributed k-means (the IVF quantizer trainer) — the
+    iterative-algorithm class. Exact fixed-point statistics make the result
+    partitioning-independent; the twin is a numpy golden (committed-fixture
+    pattern) keyed by a corpus fingerprint the SQL computes itself."""
+    return S.ivf_train(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
 def _embedding_dup_pairs(spark, sf_dir):
     return S.embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9, dim=EMB_DIM)
 
@@ -983,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_agg_nation": _conditional_agg_nation,
         "grouping_sets_revenue": _grouping_sets_revenue,
         "embedding_norm_stats": _embedding_norm_stats,
+        "ivf_train_centroids": _ivf_train_centroids,
     }
 
 
@@ -1447,6 +1456,9 @@ FROM f GROUP BY media_id
         # 16-bit-chunk pigeonhole is complete for Hamming ≤ 3, so the sets
         # are equal. Closes round 2's only `no_oracle` row.
         "simhash_near_pairs": _simhash_golden_sql(),
+        # Iterative k-means: numpy golden stats keyed by a corpus
+        # fingerprint the twin computes from the embeddings table itself.
+        "ivf_train_centroids": _ivf_train_sql(),
         **_golden_oracles(),
     }
 
@@ -1573,6 +1585,30 @@ SELECT CASE WHEN a BETWEEN 48 AND 57 THEN 'train'
        count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens
 FROM (SELECT ascii(substring(md5(url), 1, 1)) AS a, toks FROM surv)
 GROUP BY split
+"""
+
+
+def _ivf_train_sql() -> str:
+    """Twin of ivf_train_centroids: the expected last-iteration k-means stats
+    live in a numpy-computed golden parquet (sources/ivf_golden.py — k-means
+    is iterative, not one SQL query); the twin selects the rows whose corpus
+    fingerprint matches the one it computes from the embeddings table itself
+    (md5 over fixed-point e6 elements in (vec_id, ordinal) order — verified
+    byte-identical between DuckDB string_agg and the numpy builder)."""
+    from ocr_machine_spark.sources.ivf_golden import ivf_golden_parquet
+
+    g = ivf_golden_parquet()
+    return f"""
+WITH u AS (
+  SELECT vec_id, unnest(embedding) AS e, unnest(range(1, len(embedding)+1)) AS ord
+  FROM embeddings
+),
+fp AS (
+  SELECT md5(string_agg(CAST(CAST(floor(CAST(e AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS VARCHAR),
+                        ',' ORDER BY vec_id, ord)) AS corpus_fp
+  FROM u
+)
+SELECT cell, pos, sum_e6, n FROM '{g}' WHERE corpus_fp = (SELECT corpus_fp FROM fp)
 """
 
 

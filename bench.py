@@ -42,6 +42,10 @@ HEADLINE = [
     # round 2 additions
     "embedding_dup_pairs",
     "model_inference_scores",
+    # round 3: the ANN scale paths (bucketed/IVF), timed next to the exact
+    # baseline ann_cosine_topk they approximate
+    "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 

@@ -66,6 +66,46 @@ def test_py_l2_matches_jvm_norm(spark, vecs):
     assert _bits(r["n"]) == _bits(_py_l2(a))
 
 
+def test_ivf_train_partitioning_invariant(spark):
+    """k-means statistics must be identical on any partitioning — exact
+    fixed-point int64 sums make the distributed reduction order-free."""
+    from ocr_machine_spark.operators.similarity import ivf_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, ivf_train(emb, k=4, iters=2).collect()))
+    b = sorted(map(tuple, ivf_train(emb.repartition(13), k=4, iters=2).collect()))
+    c = sorted(map(tuple, ivf_train(emb.coalesce(1), k=4, iters=2).collect()))
+    assert a == b == c
+    assert len(a) > 0
+    # counts are consistent: every (cell) has one n across all pos, and the
+    # member total equals the corpus size
+    ns = {}
+    for cell, pos, s, n in a:
+        ns.setdefault(cell, set()).add(n)
+    assert all(len(v) == 1 for v in ns.values())
+    assert sum(next(iter(v)) for v in ns.values()) == emb.count()
+
+
+def test_ivf_train_matches_numpy_golden(spark):
+    """The Spark trainer and the independent numpy golden (the oracle twin's
+    source) agree row-for-row."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_machine_spark.operators.similarity import ivf_train
+    from ocr_machine_spark.sources.ivf_golden import kmeans_stats_py
+
+    d = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    got = sorted(map(tuple, ivf_train(emb, k=8, iters=2).collect()))
+    tbl = pq.read_table(f"{d}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    exp = sorted(kmeans_stats_py(ids[order], mat[order], k=8, iters=2, scale=1_000_000))
+    assert got == exp
+
+
 def test_numpy_cumsum_matches_sequential_dot(vecs):
     """The Arrow-batch verify/quantizer paths sum via np.cumsum along the
     vector axis — same order as the scalar fold."""
