@@ -436,6 +436,17 @@ def _ivf_train_centroids(spark, sf_dir):
     return S.ivf_train(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
+def _ann_ivf_trained_topk(spark, sf_dir):
+    """End-to-end trained IVF: k-means statistics → centroid means → probed
+    search with the trained quantizer. The twin recovers the SAME means from
+    the golden statistics inside SQL (exact-int division, identical doubles
+    below 2^53) and replays assignment/probe/score with sequential dots."""
+    emb = _t(spark, sf_dir, "embeddings")
+    stats = S.ivf_train(emb, k=8, iters=2)
+    cents = S.ivf_centroids_from_stats(stats.collect())
+    return S.ann_topk_ivf(emb, ANN_QUERY_IDS, k=10, n_probe=4, centroids=cents)
+
+
 def _embedding_dup_pairs(spark, sf_dir):
     return S.embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9, dim=EMB_DIM)
 
@@ -992,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": _grouping_sets_revenue,
         "embedding_norm_stats": _embedding_norm_stats,
         "ivf_train_centroids": _ivf_train_centroids,
+        "ann_ivf_trained_topk": _ann_ivf_trained_topk,
     }
 
 
@@ -1459,6 +1471,7 @@ FROM f GROUP BY media_id
         # Iterative k-means: numpy golden stats keyed by a corpus
         # fingerprint the twin computes from the embeddings table itself.
         "ivf_train_centroids": _ivf_train_sql(),
+        "ann_ivf_trained_topk": _ivf_trained_search_sql(),
         **_golden_oracles(),
     }
 
@@ -1609,6 +1622,62 @@ fp AS (
   FROM u
 )
 SELECT cell, pos, sum_e6, n FROM '{g}' WHERE corpus_fp = (SELECT corpus_fp FROM fp)
+"""
+
+
+def _ivf_trained_search_sql() -> str:
+    """Twin of ann_ivf_trained_topk: recover the trained centroid means from
+    the golden k-means statistics IN SQL (exact-int division — identical
+    doubles below 2^53), then replay assignment → probes → scored top-k with
+    sequential dots, mirroring the ann_ivf_topk twin."""
+    from ocr_machine_spark.sources.ivf_golden import ivf_golden_parquet
+
+    g = ivf_golden_parquet()
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+WITH u AS (
+  SELECT vec_id, unnest(embedding) AS el, unnest(range(1, len(embedding)+1)) AS ord
+  FROM embeddings
+),
+fp AS (
+  SELECT md5(string_agg(CAST(CAST(floor(CAST(el AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS VARCHAR),
+                        ',' ORDER BY vec_id, ord)) AS corpus_fp
+  FROM u
+),
+cent AS (
+  SELECT cell AS cid,
+         list(CAST(sum_e6 AS DOUBLE) / CAST(1000000 * n AS DOUBLE) ORDER BY pos) AS cv
+  FROM '{g}' WHERE corpus_fp = (SELECT corpus_fp FROM fp)
+  GROUP BY cell
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+asg AS (
+  SELECT vec_id, cid,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC,
+                    cid ASC
+         ) AS crk
+  FROM e, cent
+),
+cell AS (SELECT vec_id, cid AS cell FROM asg WHERE crk = 1),
+q AS (
+  SELECT a.vec_id AS qid, e.v AS qv, a.cid AS qcell
+  FROM asg a JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id IN ({ids}) AND a.crk <= 4
+),
+scored AS (
+  SELECT qid, e.vec_id AS nid,
+         {_sql_fix('list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))')} AS sim_e4
+  FROM q JOIN cell ON cell.cell = q.qcell JOIN e ON e.vec_id = cell.vec_id
+  WHERE e.vec_id != qid
+),
+r AS (
+  SELECT qid, nid AS neighbor_id, sim_e4,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, nid ASC) AS rk
+  FROM scored
+)
+SELECT qid, neighbor_id, sim_e4, rk FROM r WHERE rk <= 10
 """
 
 

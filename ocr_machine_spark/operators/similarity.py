@@ -250,10 +250,13 @@ def ann_topk_ivf(
     key: str = "vec_id",
     vec: str = "embedding",
     dim: int | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector to its nearest centroid
     cell, probe the query's ``n_probe`` closest cells, exact cosine + top-k
-    inside the probed cells only.
+    inside the probed cells only. Pass ``centroids`` (e.g. means recovered
+    from ``ivf_train`` statistics) to search a trained quantizer; otherwise
+    the k-smallest-id stand-in is fetched.
 
     The coarse quantizer is deterministic and data-derived: centroids are the
     vectors with the ``n_cells`` smallest ids (the seeded stand-in for a
@@ -270,7 +273,7 @@ def ann_topk_ivf(
     IVF trade — mitigate with more cells or per-cell salting at re-rank."""
     from pyspark.sql.window import Window
 
-    cents = sorted(
+    cents = centroids if centroids is not None else sorted(
         (r[0], list(r[1]))
         for r in emb.filter(F.col(key) < n_cells)
         .select(F.col(key), F.col(vec).cast("array<double>"))
@@ -397,17 +400,26 @@ def ivf_train(
     stats_df = None
     for _ in range(iters):
         stats_df = _centroid_stats(emb, cents, key=key, vec=vec, scale=scale)
-        rows = stats_df.collect()  # k·dim model rows — parameters, not data
-        by_cell: dict[int, dict[int, int]] = {}
-        counts: dict[int, int] = {}
-        for r in rows:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["sum_e6"]
-            counts[r["cell"]] = r["n"]
-        cents = sorted(
-            (cid, [sums[p] / (scale * counts[cid]) for p in sorted(sums)])
-            for cid, sums in by_cell.items()
-        )
+        # k·dim model rows — parameters, not data
+        cents = ivf_centroids_from_stats(stats_df.collect(), scale=scale)
     return stats_df
+
+
+def ivf_centroids_from_stats(rows, scale: int = 1_000_000) -> list[tuple[int, list[float]]]:
+    """Collected ``ivf_train`` statistics rows → sorted (cell, mean) list.
+    Exact-int Python division ⇒ correctly-rounded doubles, reproducible by
+    any engine that divides the same exact integers (the DuckDB twin does
+    ``CAST(sum_e6 AS DOUBLE)/CAST(scale*n AS DOUBLE)`` — identical below
+    2^53, which k·dim·|cell| statistics at gate scales satisfy)."""
+    by_cell: dict[int, dict[int, int]] = {}
+    counts: dict[int, int] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], {})[r["pos"]] = r["sum_e6"]
+        counts[r["cell"]] = r["n"]
+    return sorted(
+        (cid, [sums[p] / (scale * counts[cid]) for p in sorted(sums)])
+        for cid, sums in by_cell.items()
+    )
 
 
 def _centroid_stats(
