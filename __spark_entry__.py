@@ -882,6 +882,48 @@ def _streaming_host_totals(spark, sf_dir):
     )
 
 
+def _streaming_window_events(spark, sf_dir):
+    """Watermarked tumbling-window aggregation under readStream (the
+    windows+watermark half of the streaming story; streaming_host_totals
+    covers arbitrary state). The stream runs to completion inside the
+    callable (complete mode keeps every window so the finite source emits
+    all of them) and the final window table is returned as a batch frame —
+    hash-gated against the same SQL that gates the batch hourly rollup, so
+    streaming and batch execution are proven to agree on the same input."""
+    import os
+    import tempfile
+
+    global _STREAM_QUERY_SEQ
+    _STREAM_QUERY_SEQ += 1
+    qname = f"stream_window_events_{_STREAM_QUERY_SEQ}"  # re-invocation safe
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # the file stream source requires a DIRECTORY; expose the single-file
+    # table through a symlink dir (testdata stays read-only)
+    tmp = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), fixed_point(F.sum("value")).alias("sum_value_e4"))
+    )
+    q = agg.writeStream.format("memory").queryName(qname).outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).select(
+        F.col("w.start").alias("w_start"), "event_type", "n_events", "sum_value_e4"
+    )
+
+
 def _corpus_curation_stats(spark, sf_dir):
     """Flagship composition — the whole training-data pipeline in one plan:
     extract (mapInPandas) → quality gate on the EXTRACTED text → exact-dedup
@@ -1004,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_stats": _embedding_norm_stats,
         "ivf_train_centroids": _ivf_train_centroids,
         "ann_ivf_trained_topk": _ann_ivf_trained_topk,
+        "streaming_window_events": _streaming_window_events,
     }
 
 
@@ -1472,6 +1515,12 @@ FROM f GROUP BY media_id
         # fingerprint the twin computes from the embeddings table itself.
         "ivf_train_centroids": _ivf_train_sql(),
         "ann_ivf_trained_topk": _ivf_trained_search_sql(),
+        # streaming windowed agg ≡ batch hourly rollup on a finite source
+        "streaming_window_events": f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
+  count(*) AS n_events, {_sql_fix('sum(value)')} AS sum_value_e4
+FROM events GROUP BY 1, 2
+""",
         **_golden_oracles(),
     }
 
