@@ -417,7 +417,8 @@ def _simhash_near_pairs(spark, sf_dir):
 
 
 def _ann_cosine_topk(spark, sf_dir):
-    return S.cosine_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
+    # dim passed explicitly: skips the per-invocation first() dim-probe job
+    return S.cosine_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, dim=EMB_DIM)
 
 
 def _ann_lsh_topk(spark, sf_dir):

@@ -392,6 +392,8 @@ def ivf_train(
     (python_files/training_textract.py) retrains on fixed seeds for
     reproducibility; this makes the same promise under distribution.
     """
+    if iters < 1:
+        raise ValueError("ivf_train needs iters >= 1 (the output IS an iteration's statistics)")
     head = emb.filter(F.col(key) < k).select(F.col(key), F.col(vec).cast("array<double>"))
     cents = sorted((r[0], list(r[1])) for r in head.collect())
     if not cents:
