@@ -383,6 +383,13 @@ def _doc_fingerprint(spark, sf_dir):
     return T.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _doc_rolling_fingerprint(spark, sf_dir):
+    """Rabin-Karp-style word-level rolling hash (the brief's literal
+    "rolling hash" fingerprint class) — order-sensitive, prefix-incremental,
+    exact-integer so both engines fold to identical BIGINTs."""
+    return T.rolling_fingerprint(_t(spark, sf_dir, "documents"))
+
+
 def _dedup_exact_docs(spark, sf_dir):
     return D.dedup_exact(_t(spark, sf_dir, "documents"))
 
@@ -1048,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_train_centroids": _ivf_train_centroids,
         "ann_ivf_trained_topk": _ann_ivf_trained_topk,
         "streaming_window_events": _streaming_window_events,
+        "doc_rolling_fingerprint": _doc_rolling_fingerprint,
     }
 
 
@@ -1366,6 +1374,17 @@ FROM documents
         "doc_quality": _quality_sql(),
         "doc_lang_guess": _lang_sql(),
         "doc_fingerprint": f"SELECT doc_id, md5({nt}) AS fp FROM documents",
+        "doc_rolling_fingerprint": f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split({nt}, ' '),
+        w -> CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1125899906842624
+  ) AS roll_fp,
+  CAST(len(string_split({nt}, ' ')) AS BIGINT) AS n_words
+FROM documents
+""",
         "dedup_exact_docs": f"""
 SELECT md5({nt}) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY 1

@@ -115,3 +115,30 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over normalized text (the cheap global
     fingerprint; MinHash/SimHash in operators.dedup are the near-dup ones)."""
     return docs.select("doc_id", F.md5(norm_text("text")).alias("fp"))
+
+
+# 2^50: keeps every fold step overflow-free in signed-64 on BOTH engines
+# (acc < 2^50 ⇒ acc*31 < 2^55; + word hash < 2^60 ⇒ sum < 2^61) — DuckDB
+# ERRORS on BIGINT overflow where the JVM wraps, so the rolling recurrence
+# must never leave the shared exact range.
+_ROLL_MOD = 1 << 50
+
+
+def rolling_fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint (task brief: "document
+    fingerprinting (rolling hash)") — a Rabin-Karp-style word-level Horner
+    fold: ``h = fold(words, 0, (acc, w) -> (acc·31 + H(w)) mod 2^50)`` with
+    ``H(w)`` = the first 15 md5 hex digits as an integer (< 2^60, computable
+    identically in Spark ``conv`` and DuckDB ``0x``-cast). Unlike the md5
+    fingerprint it is incremental — a prefix's hash is reusable when
+    documents are extended, the property streaming ingest wants — and unlike
+    bag-of-words hashes it distinguishes word order. Pure JVM expressions;
+    per-row cost O(words)."""
+    words = F.split(norm_text("text"), " ")
+    word_h = lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")  # noqa: E731
+    h = F.aggregate(
+        F.transform(words, word_h),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(31) + x) % F.lit(_ROLL_MOD),
+    )
+    return docs.select("doc_id", h.alias("roll_fp"), token_count(norm_text("text")).alias("n_words"))
