@@ -390,6 +390,13 @@ def _doc_rolling_fingerprint(spark, sf_dir):
     return T.rolling_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (SIGMOD'03) — min-of-window k-gram fingerprints with the
+    guaranteed-detection property for runs ≥ w+k-1 words; the deterministic
+    complement to MinHash in the dedup ladder."""
+    return T.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)
+
+
 def _dedup_exact_docs(spark, sf_dir):
     return D.dedup_exact(_t(spark, sf_dir, "documents"))
 
@@ -1056,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained_topk": _ann_ivf_trained_topk,
         "streaming_window_events": _streaming_window_events,
         "doc_rolling_fingerprint": _doc_rolling_fingerprint,
+        "doc_winnow_fingerprints": _doc_winnow_fingerprints,
     }
 
 
@@ -1384,6 +1392,25 @@ SELECT doc_id,
   ) AS roll_fp,
   CAST(len(string_split({nt}, ' ')) AS BIGINT) AS n_words
 FROM documents
+""",
+        "doc_winnow_fingerprints": f"""
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 3 THEN
+      list_transform(range(1, len(ws) - 2 + 1),
+        i -> CAST(concat('0x', substring(md5(array_to_string(list_slice(ws, i, i + 2), ' ')), 1, 15)) AS BIGINT))
+    ELSE [] END AS sh
+  FROM (SELECT doc_id, string_split({nt}, ' ') AS ws FROM documents)
+),
+f AS (
+  SELECT doc_id,
+    CASE WHEN len(sh) >= 1 THEN
+      list_distinct(list_transform(range(1, greatest(len(sh) - 3, 1) + 1),
+        i -> list_min(list_slice(sh, i, i + 3))))
+    ELSE [] END AS fps
+  FROM sh
+)
+SELECT doc_id, unnest(fps) AS fp FROM f
 """,
         "dedup_exact_docs": f"""
 SELECT md5({nt}) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -142,3 +142,41 @@ def rolling_fingerprint(docs: DataFrame) -> DataFrame:
         lambda acc, x: (acc * F.lit(31) + x) % F.lit(_ROLL_MOD),
     )
     return docs.select("doc_id", h.alias("roll_fp"), token_count(norm_text("text")).alias("n_words"))
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the standard local-fingerprint scheme): hash every word k-gram, slide a
+    w-window over the hash sequence, keep the minimum of each window, emit
+    the distinct selected hashes per document as (doc_id, fp) rows. Any two
+    documents sharing a run of ≥ w+k-1 words are GUARANTEED to share a
+    fingerprint — the recall property MinHash only gives probabilistically —
+    while storing ~2/(w+1) of the shingle hashes.
+
+    Short docs: fewer than w shingles → one window over what exists (the
+    common totality convention); fewer than k words → no fingerprints.
+    Pure JVM array expressions (transform/slice/array_min), hash =
+    md5-prefix integer — both engines compute identical BIGINTs, so the
+    DuckDB twin replays the algorithm directly. Per-row cost O(words·w);
+    no shuffle until the consumer aggregates."""
+    ws = F.split(norm_text("text"), " ")
+    sh = F.when(
+        F.size(ws) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (k - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(F.array_join(F.slice(ws, i, k), " ")), 1, 15), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    n_sh = F.size(sh)
+    fps = F.when(
+        n_sh >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_sh - (w - 1), F.lit(1))),
+                lambda i: F.array_min(F.slice(sh, i, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return docs.select("doc_id", F.explode(fps).alias("fp"))
