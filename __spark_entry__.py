@@ -390,6 +390,22 @@ def _doc_rolling_fingerprint(spark, sf_dir):
     return T.rolling_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.125, "zh": 0.125}
+
+
+def _doc_stratified_sample(spark, sf_dir):
+    """Deterministic per-language mixture sampling (no RNG — identical
+    sample on any engine/partitioning; monotone in the rates). Output is the
+    per-stratum sample profile so the gate hashes counts, volume and the
+    sample's first member."""
+    s = T.stratified_sample(_t(spark, sf_dir, "documents"), SAMPLE_RATES)
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 def _doc_winnow_fingerprints(spark, sf_dir):
     """Winnowing (SIGMOD'03) — min-of-window k-gram fingerprints with the
     guaranteed-detection property for runs ≥ w+k-1 words; the deterministic
@@ -1064,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_events": _streaming_window_events,
         "doc_rolling_fingerprint": _doc_rolling_fingerprint,
         "doc_winnow_fingerprints": _doc_winnow_fingerprints,
+        "doc_stratified_sample": _doc_stratified_sample,
     }
 
 
@@ -1392,6 +1409,14 @@ SELECT doc_id,
   ) AS roll_fp,
   CAST(len(string_split({nt}, ' ')) AS BIGINT) AS n_words
 FROM documents
+""",
+        "doc_stratified_sample": f"""
+SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc_id
+FROM documents
+WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) <
+  CASE lang {' '.join(f"WHEN '{s}' THEN {int(r * (1 << 60))}" for s, r in sorted(SAMPLE_RATES.items()))} ELSE 0 END
+GROUP BY lang
 """,
         "doc_winnow_fingerprints": f"""
 WITH sh AS (

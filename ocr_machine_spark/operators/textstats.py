@@ -144,6 +144,32 @@ def rolling_fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", h.alias("roll_fp"), token_count(norm_text("text")).alias("n_words"))
 
 
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    *,
+    stratum: str = "lang",
+    key: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling — the data-mixing primitive a
+    training pipeline needs (per-language/per-source mixture weights):
+    a row is kept iff the integer of its key's first 15 md5 hex digits
+    (uniform in [0, 2^60)) falls below ``rate·2^60`` for its stratum.
+
+    No RNG anywhere: the sample is a pure function of (key, rates), so it is
+    identical across engines, runs, partitionings and cluster sizes — and
+    monotone in the rate (raising a stratum's rate only ADDS documents,
+    which keeps incremental corpus rebuilds superset-stable). Thresholds are
+    folded to exact BIGINT literals driver-side; the filter is one JVM
+    expression, pushable to the scan."""
+    h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10).cast("long")
+    thr = F.lit(int(default_rate * (1 << 60)))
+    for s, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum) == s, F.lit(int(rate * (1 << 60)))).otherwise(thr)
+    return docs.filter(h < thr)
+
+
 def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
     — the standard local-fingerprint scheme): hash every word k-gram, slide a
