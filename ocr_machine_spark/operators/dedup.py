@@ -347,18 +347,21 @@ def simhash(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFra
     whole operator is whole-stage-codegen JVM (interpreted higher-order
     lambdas and per-word Python both benchmarked 10-30× slower)."""
     # explode_outer over the ''-purged word array keeps empty/null-text docs
-    # as one null-word row (votes NULL -> all bits 0), so no restore-join is
-    # needed afterwards — one fewer join/exchange in the plan
+    # as one null-word row, so no restore-join is needed afterwards — one
+    # fewer join/exchange in the plan. The null row must contribute NOTHING:
+    # Spark's xxhash64(NULL) returns the SEED (42), not NULL, so the hash is
+    # gated on w IS NOT NULL (else an empty doc would get signature 42 and
+    # n=1 — spec says empty/null text -> signature 0), and n counts w, not *.
     words = F.array_remove(F.array_distinct(F.split(norm_text(F.col(text)), " ")), "")
     w = docs.select(F.col(key).alias("doc_id"), F.explode_outer(words).alias("w"))
-    h = F.xxhash64("w")
+    h = F.when(F.col("w").isNotNull(), F.xxhash64("w"))
     # lane packing: sum m accumulates bits m and m+32 of every word hash in
     # one long (32-bit lanes at bit 0 and bit 32), halving the aggregate
     # count to 32. Lane overflow needs 2^32 distinct words in one doc —
     # impossible (a doc's distinct vocabulary is bounded far below that).
     lane_mask = F.lit((1 << 32) | 1).cast("long")
     votes = w.groupBy("doc_id").agg(
-        F.count("*").alias("n"),
+        F.count("w").alias("n"),
         *[F.sum(F.shiftright(h, m).bitwiseAND(lane_mask)).alias(f"s{m}") for m in range(32)],
     )
     lo32 = F.lit(0xFFFFFFFF).cast("long")

@@ -22,10 +22,12 @@ from ocr_machine_spark.functions import dot_literal_sql, dot_unrolled_sql, fixed
 
 
 def _dim_of(emb: DataFrame, vec: str) -> int:
-    """Embedding width from the first row (1 on empty input — any dim yields
-    the correct empty result with the right schema)."""
-    head = emb.select(vec).first()
-    return len(head[0]) if head is not None and head[0] is not None else 1
+    """Embedding width from the first NON-NULL vector (1 on empty/all-null
+    input — any dim yields the correct empty result with the right schema).
+    Skipping nulls matters: probing only row one would silently truncate
+    every dot product to dim=1 when that row's vector happens to be NULL."""
+    head = emb.select(vec).filter(F.col(vec).isNotNull()).first()
+    return len(head[0]) if head is not None else 1
 
 
 def cosine_topk(
@@ -112,10 +114,9 @@ def embedding_dup_pairs(
 
         field = emb.schema[vec].dataType
         assert isinstance(field, sqlt.ArrayType)
-        head = emb.select(vec).first()
-        # empty input: any dim yields the correct empty result with the right
-        # schema — don't let first()→None raise (round-2 advice)
-        dim = len(head[0]) if head is not None else 1
+        # shared null-skipping probe (round-2 advice: empty input must not
+        # raise; round-3 review: a NULL first vector must not truncate dims)
+        dim = _dim_of(emb, vec)
     bb = srp_band_buckets(
         emb, dim=dim, bands=bands, planes_per_band=planes_per_band, key=key, vec=vec
     ).cache()  # tiny (n·bands rows); both sides of the self-join reuse it
@@ -401,8 +402,14 @@ def ivf_train(
 
     stats_df = None
     for _ in range(iters):
-        stats_df = _centroid_stats(emb, cents, key=key, vec=vec, scale=scale)
-        # k·dim model rows — parameters, not data
+        # materialize each iteration's k·dim statistics ONCE (eager local
+        # checkpoint): the in-loop collect reads the checkpoint, and the
+        # returned frame's consumers (the gate, ann_ivf_trained_topk) reuse
+        # it instead of re-running the full scan — same pattern as the
+        # minhash signature/candidate materialization
+        stats_df = _centroid_stats(emb, cents, key=key, vec=vec, scale=scale).localCheckpoint(
+            eager=True
+        )
         cents = ivf_centroids_from_stats(stats_df.collect(), scale=scale)
     return stats_df
 

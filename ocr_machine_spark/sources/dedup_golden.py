@@ -89,7 +89,11 @@ def minhash_sig_py(
 
 
 def dedup_golden_parquet(
-    sf_dirs: tuple[str, ...] = ("/root/testdata/sf0.001", "/root/testdata/sf0.01"),
+    sf_dirs: tuple[str, ...] = (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",  # every sf dir any gate can run at (PARITY_SF_DIR)
+    ),
     base_dir: str = "/tmp/ocr_machine_spark_goldens",
 ) -> str:
     """One parquet of (fp=md5(text), simhash BIGINT, minsig LIST<BIGINT>) for

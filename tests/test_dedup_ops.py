@@ -62,3 +62,25 @@ def test_dedup_clusters_star_partitioning_invariant(spark):
     a = dedup_clusters_star(docs, pairs).orderBy("doc_id").collect()
     b = dedup_clusters_star(docs.repartition(7), pairs.repartition(3)).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_simhash_empty_doc_signature_is_zero(spark):
+    """Spec (sources/dedup_golden.py): empty/NULL/whitespace text -> signature
+    0. Regression: Spark's xxhash64(NULL) returns the SEED (42), so the
+    explode_outer null-word row used to vote with the bits of 42 and empty
+    docs got signature 42 — diverging from the golden twin."""
+    from ocr_machine_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   "), (4, "real words here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert out[1] == 0 and out[2] == 0 and out[3] == 0
+    assert out[4] != 0
+    # and the golden twin agrees on the empty cases
+    from ocr_machine_spark.sources.dedup_golden import simhash_py
+
+    cache = {}
+    assert simhash_py("", cache) == 0 and simhash_py(None, cache) == 0
+    assert simhash_py("real words here", cache) == out[4]
