@@ -1,0 +1,86 @@
+"""Property pins for the round-3 text operators — each test asserts the
+exact guarantee its operator's docstring claims, so the claims are CI-backed
+rather than prose."""
+
+import pyspark.sql.functions as F
+
+from ocr_machine_spark.operators.textstats import (
+    _ROLL_MOD,
+    rolling_fingerprint,
+    stratified_sample,
+    winnow_fingerprints,
+)
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    """Docs sharing a run of ≥ w+k-1 words MUST share a fingerprint
+    (Schleimer's detection guarantee; here k=3, w=4 → runs of 6 words)."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = w+k-1 words
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"nine eight seven {shared} six"),
+            (3, "completely different words in this document entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 6-word run must yield a common fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_winnowing_short_and_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, ""), (3, None), (4, "exactly three words")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert 1 not in by_doc and 2 not in by_doc and 3 not in by_doc  # < k words
+    assert len(by_doc[4]) == 1  # one shingle, one window
+
+
+def test_rolling_fingerprint_is_prefix_incremental(spark):
+    """The docstring's incremental claim: hash(doc) == Horner continuation of
+    hash(prefix) with the suffix words — checkable without re-reading the
+    prefix."""
+    prefix = "the quick brown fox"
+    suffix = ["jumps", "over"]
+    docs = spark.createDataFrame(
+        [(1, prefix), (2, prefix + " " + " ".join(suffix))],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["roll_fp"] for r in rolling_fingerprint(docs).collect()}
+    # continue driver-side with the same word hash (md5 15-hex prefix)
+    import hashlib
+
+    acc = out[1]
+    for w in suffix:
+        wh = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        acc = (acc * 31 + wh) % _ROLL_MOD
+    assert acc == out[2]
+
+
+def test_stratified_sample_monotone_and_deterministic(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lo = {"en": 0.2, "de": 0.1, "fr": 0.1, "es": 0.1, "zh": 0.1}
+    hi = {k: v * 2 for k, v in lo.items()}
+    s_lo = {r["doc_id"] for r in stratified_sample(docs, lo).select("doc_id").collect()}
+    s_hi = {r["doc_id"] for r in stratified_sample(docs, hi).select("doc_id").collect()}
+    assert s_lo <= s_hi, "raising rates must only ADD documents"
+    assert len(s_lo) < len(s_hi) < docs.count()
+    # partitioning-independent
+    s_lo2 = {
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(13), lo).select("doc_id").collect()
+    }
+    assert s_lo == s_lo2
+    # strata not in the rate map fall to default_rate=0
+    assert (
+        stratified_sample(docs, {"en": 0.5}).filter(F.col("lang") != "en").count() == 0
+    )
