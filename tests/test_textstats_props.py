@@ -45,6 +45,44 @@ def test_winnowing_short_and_empty_docs(spark):
     assert len(by_doc[4]) == 1  # one shingle, one window
 
 
+def _winnow_py(text, k=3, w=4):
+    """Independent Python reference: same spec, different implementation."""
+    import hashlib
+    import re
+
+    words = re.sub(r"[ \t\n\x0b\f\r]+", " ", (text or "").lower()).strip().split(" ")
+    if words == [""]:
+        words = [""]  # norm of empty stays one empty token (matches split behavior)
+    if len(words) < k:
+        return set()
+    hs = [
+        int(hashlib.md5(" ".join(words[i : i + k]).encode()).hexdigest()[:15], 16)
+        for i in range(len(words) - k + 1)
+    ]
+    n_win = max(len(hs) - (w - 1), 1)
+    return {min(hs[i : i + w]) for i in range(n_win)}
+
+
+def test_winnowing_matches_python_reference_randomized(spark):
+    """120 random word documents (varying lengths incl. < k and < w+k-1) —
+    Spark's array-expression winnowing equals the independent Python
+    implementation doc-for-doc."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(40)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+        for i in range(120)
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(sdf, k=3, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for doc_id, text in docs:
+        assert got.get(doc_id, set()) == _winnow_py(text), (doc_id, text)
+
+
 def test_rolling_fingerprint_is_prefix_incremental(spark):
     """The docstring's incremental claim: hash(doc) == Horner continuation of
     hash(prefix) with the suffix words — checkable without re-reading the
