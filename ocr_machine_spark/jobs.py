@@ -5,7 +5,7 @@ Usage (cluster):
     spark-submit --py-files ocr_machine_spark.zip \
         --master <cluster> \
         ocr_machine_spark/jobs.py \
-        --input  <pages parquet/iceberg path> \
+        --input  <pages parquet path or table id> \
         --output <output dir> \
         --run-id <id> [--buckets 4096] [--partitions <2-4x total cores>]
 
@@ -44,7 +44,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument(
+        "--input",
+        required=True,
+        help="pages source: a parquet path, or a table identifier "
+        "(catalog.db.table — no path separator) read via spark.table, which "
+        "is the correct way to read an Iceberg input (a raw parquet scan of "
+        "an Iceberg dir would resurrect logically-deleted files)",
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--buckets", type=int, default=256)
@@ -62,7 +69,8 @@ def main(argv: list[str] | None = None) -> None:
     from ocr_machine_spark.session import get_spark
 
     spark = get_spark(app=f"extract-{args.run_id}", master=args.master)
-    pages = spark.read.parquet(args.input)
+    is_table = os.sep not in args.input and not args.input.startswith("file:")
+    pages = spark.table(args.input) if is_table else spark.read.parquet(args.input)
     stats = run_extraction(
         spark,
         pages,

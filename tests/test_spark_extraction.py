@@ -117,3 +117,45 @@ def test_lineage_resume_exactly_once(spark, pages, tmp_path):
     lin = read_lineage(spark, out)
     assert lin.count() == 16
     assert lin.agg(F.sum("rows_in")).collect()[0][0] == N
+
+
+def test_lineage_sparse_input_commits_empty_buckets(spark, tmp_path):
+    """Review fix: selected-but-empty buckets must still commit (rows 0) or a
+    sparse input livelocks — max_buckets_this_run would re-select the same
+    empty buckets forever."""
+    from ocr_machine_spark.sources.pages import generate_pages
+
+    out = str(tmp_path / "sparse")
+    few = generate_pages(spark, 6, partitions=2)  # 6 urls over 64 buckets
+    s1 = run_extraction(spark, few, out, run_id="r1", n_buckets=64, max_buckets_this_run=10)
+    assert s1["buckets_committed"] == 10  # progress regardless of bucket content
+    s2 = run_extraction(spark, few, out, run_id="r2", n_buckets=64)
+    assert s2["buckets_committed"] == 54
+    lin = read_lineage(spark, out)
+    assert lin.count() == 64
+    assert lin.agg(F.sum("rows_out")).collect()[0][0] == 6
+    # third run: nothing left
+    s3 = run_extraction(spark, few, out, run_id="r3", n_buckets=64)
+    assert s3["buckets_committed"] == 0
+
+
+def test_lineage_refuses_bucket_count_mismatch(spark, pages, tmp_path):
+    """Review fix: bucket ids only compose within one bucket space — resuming
+    with a different --buckets must fail loudly, not mix spaces silently."""
+    import pytest
+
+    out = str(tmp_path / "guard")
+    run_extraction(spark, pages, out, run_id="r1", n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_extraction(spark, pages, out, run_id="r2", n_buckets=256)
+
+
+def test_lineage_empty_input_run(spark, tmp_path):
+    """Review fix: a fresh run over empty input must return zero stats, not
+    fail parquet schema inference on a data dir holding only _SUCCESS."""
+    from ocr_machine_spark.sources.pages import generate_pages
+
+    out = str(tmp_path / "empty")
+    none = generate_pages(spark, 3, partitions=1).filter("url IS NULL")  # empty frame
+    s = run_extraction(spark, none, out, run_id="r1", n_buckets=8)
+    assert s["buckets_committed"] == 8 and s["rows"] == 0 and s["pages_ok"] == 0
