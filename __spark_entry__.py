@@ -1854,7 +1854,7 @@ FROM '{g_int}'
 """,
         "corpus_curation_stats": _curation_sql(g_e2e),
         "streaming_host_totals": f"""
-SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
        count(*) AS n_pages, CAST(sum(n_html_bytes) AS BIGINT) AS bytes_html
 FROM '{g_blk}' GROUP BY 1
 """,

@@ -14,13 +14,14 @@ Scale notes (100 TB / 10^12 rows):
   ``html``) is never read;
 * the default extraction path is SHUFFLE-FREE: parquet/Iceberg scan splits
   are byte-uniform (``maxPartitionBytes``), and a per-row map has no key
-  skew, so ``mapInPandas`` runs directly on the scan partitions. Pass
+  skew, so ``mapInArrow`` runs directly on the scan partitions. Pass
   ``partitions=`` to opt into ``repartition_salted`` when the input layout
-  genuinely needs re-spreading (e.g. few giant files); the salt affects
-  placement only, never content, so per-url output stays byte-identical
-  under any partitioning (SURVEY.md §7 "hard parts: skew"). Skew handling
-  proper lives on the KEYED stages (reassembly by url, host aggregations),
-  where ``repartition_salted`` is the tool;
+  genuinely needs re-spreading (e.g. few giant files, duplicate-url runs);
+  the salt affects placement only, never content, so per-url output stays
+  byte-identical under any partitioning (SURVEY.md §7 "hard parts: skew").
+  KEYED stages (reassembly by url, host aggregations) must NOT salt their
+  shuffle key directly — skew there takes the two-phase
+  salted-partial-aggregation pattern;
 * blocks are exploded only by the analysis layer (``extract_blocks``), never
   on the main extraction path — at 10^12 rows a block explode is ~100× row
   amplification.
@@ -130,14 +131,18 @@ BLOCKS_SCHEMA = StructType(
 
 
 def repartition_salted(df: DataFrame, n_partitions: int, key: str = "url", salt_buckets: int = 64) -> DataFrame:
-    """Explicit hash repartition on ``key`` with a deterministic salt.
-
-    ``pmod(xxhash64(key), salt_buckets)`` spreads rows of a skewed host across
-    ``salt_buckets`` sub-keys before the shuffle — placement only; content and
-    per-url results are unaffected. Analogue of the reference's fixed-size
-    chunk split for API limits (``run_textract.py:8-31``), done logically.
-    """
-    salt = F.pmod(F.xxhash64(F.col(key)), F.lit(salt_buckets))
+    """Explicit hash repartition on ``key`` with a row-varying salt, for MAP
+    stages (per-row extraction): even when many rows share one ``key`` value
+    (duplicate crawls of a url, a mega-host), the salt spreads them across
+    ``salt_buckets`` sub-partitions. Placement only — per-url RESULTS are
+    byte-identical under any placement (CI-asserted) — so the salt may vary
+    per row and across runs; a key-derived "salt" would be a no-op (any pure
+    function of the key induces the key's own partition classes). Keyed
+    AGGREGATION stages must not use this (salting breaks co-location); they
+    need the two-phase salted-partial-agg pattern instead. Analogue of the
+    reference's fixed-size chunk split for API limits
+    (``run_textract.py:8-31``), done logically."""
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     return df.repartition(n_partitions, F.xxhash64(F.col(key)), salt)
 
 
@@ -160,8 +165,10 @@ def _extract_batches_arrow(batches):
 
     names = [f.name for f in EXTRACT_SCHEMA.fields]
     for batch in batches:
-        urls = batch.column(0).to_pylist()
-        htmls = batch.column(1).to_pylist()
+        # by NAME, not position — a differently-ordered upstream projection
+        # must not silently feed urls into the parser
+        urls = batch.column(batch.schema.get_field_index("url")).to_pylist()
+        htmls = batch.column(batch.schema.get_field_index("html")).to_pylist()
         ext = []
         oks = []
         errs = []
@@ -250,6 +257,10 @@ def extract_pages(pages: DataFrame, *, partitions: int | None = None) -> DataFra
 
 
 def _blocks_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Block rows per parseable page. CONTRACT: a page whose extraction fails
+    yields NO block rows (blocks of an unparsed DOM don't exist) — the error
+    channel is ``extract_pages``'s ok=false row for the same url; join
+    against it to distinguish "failed to parse" from "zero blocks"."""
     cols = [f.name for f in BLOCKS_SCHEMA.fields]
     for pdf in batches:
         rows = []
@@ -307,7 +318,11 @@ def reassemble_documents(blocks: DataFrame) -> DataFrame:
     key is url, so each document reassembles on exactly one executor."""
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("start")  # document order == span order (O4)
+        # NO sort: every emitted aggregate is order-free (count/sum/min/max),
+        # and reading order is already encoded in the span offsets the
+        # renderer assigned — sorting every group would be pure dead work at
+        # 10^12×blocks scale. Re-add sort_values("start") only if an
+        # order-dependent output (assembled text) is ever emitted.
         kept = pdf[pdf["is_content"]]
         return pd.DataFrame(
             {

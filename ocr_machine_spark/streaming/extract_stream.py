@@ -3,9 +3,9 @@
 The reference is batch-only (its "streaming inference" at
 ``training_strikethrough/README.md:16`` means synchronous per-image calls,
 not event streams — SURVEY.md §1.6), so streaming is an *extension*: the SAME
-``mapInPandas`` stage runs unchanged under ``readStream`` (SURVEY.md §7
-"hard parts" notes the lift), which is the point — one extraction core, two
-execution modes.
+``mapInArrow`` extraction stage runs unchanged under ``readStream``
+(SURVEY.md §7 "hard parts" notes the lift), which is the point — one
+extraction core, two execution modes.
 
 At scale this is the continuous-ingest story: new WARC drops land as files /
 Kafka messages; watermarked windows bound state for late pages.
@@ -51,7 +51,10 @@ def host_crawl_totals_stream(spark: SparkSession, input_path: str) -> DataFrame:
 
     stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_path)
     hosts = stream.select(
-        F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host"),
+        # no trailing-slash requirement: path-less urls ("https://a.com")
+        # are common in real WARC data and must keep their host, not lump
+        # into a bogus '' group (twin regex matches — oracle parity)
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
         F.length("html").alias("nb"),
     )
 
@@ -80,8 +83,11 @@ def host_crawl_totals_stream(spark: SparkSession, input_path: str) -> DataFrame:
 def windowed_page_counts(
     spark: SparkSession, input_path: str, *, window: str = "1 hour", late: str = "2 hours"
 ) -> DataFrame:
-    """Watermarked tumbling-window ingest metrics (late pages beyond the
-    watermark are dropped deterministically)."""
+    """Watermarked tumbling-window ingest metrics. Late-row DROPPING is a
+    function of watermark advancement, which depends on how files batch into
+    triggers — NOT deterministic across runs; only the no-late-data case
+    (or complete mode, which keeps all windows) is replay-stable. The gated
+    ``streaming_window_events`` query therefore runs in complete mode."""
     stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_path)
     return (
         stream.withWatermark("warc_ts", late)
