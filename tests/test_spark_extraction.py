@@ -159,3 +159,21 @@ def test_lineage_empty_input_run(spark, tmp_path):
     none = generate_pages(spark, 3, partitions=1).filter("url IS NULL")  # empty frame
     s = run_extraction(spark, none, out, run_id="r1", n_buckets=8)
     assert s["buckets_committed"] == 8 and s["rows"] == 0 and s["pages_ok"] == 0
+
+
+def test_repartition_salted_spreads_duplicate_keys(spark):
+    """Review fix: the salt must vary WITHIN a key — a key-derived salt is a
+    no-op (it induces the key's own partition classes), so 1000 rows sharing
+    one url would all land on a single task."""
+    from ocr_machine_spark.operators.extraction import repartition_salted
+
+    hot = spark.range(1000).select(
+        F.lit("https://hot.example/dup").alias("url"), F.col("id")
+    )
+    parts = (
+        repartition_salted(hot, 8)
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert parts > 1, "hot key must spread across partitions"
