@@ -1093,15 +1093,22 @@ def _norm(x: str) -> str:
     return _SQL_NORM.format(x=x)
 
 
+def _sql_toks(t: str) -> str:
+    """Token count of a normalized-text SQL expr — ZERO for empty text
+    (string_split('') yields [''], a phantom token; twin of the guarded
+    functions.token_count)."""
+    return f"CASE WHEN {t} = '' THEN 0 ELSE len(string_split({t}, ' ')) END"
+
+
 def _lang_sql() -> str:
     t = _norm("text")
     scores = []
     for lang in sorted(T.LANG_MARKERS):
         terms = " + ".join(_sql_count_word("ws", w) for w in T.LANG_MARKERS[lang])
-        scores.append(f"({terms}) / toks AS s_{lang}")
+        scores.append(f"CASE WHEN toks = 0 THEN 0.0 ELSE ({terms}) / toks END AS s_{lang}")
     return f"""
 WITH n AS (
-  SELECT doc_id, string_split({t}, ' ') AS ws, len(string_split({t}, ' ')) AS toks FROM documents
+  SELECT doc_id, string_split({t}, ' ') AS ws, {_sql_toks(t)} AS toks FROM documents
 ), s AS (
   SELECT doc_id, {', '.join(scores)} FROM n
 )
@@ -1120,9 +1127,9 @@ def _quality_sql() -> str:
     stop_terms = " + ".join(_sql_count_word("ws", w) for w in T.STOPWORDS)
     return f"""
 WITH n AS (
-  SELECT doc_id, {t} AS tx, string_split({t}, ' ') AS ws, len(string_split({t}, ' ')) AS toks FROM documents
+  SELECT doc_id, {t} AS tx, string_split({t}, ' ') AS ws, {_sql_toks(t)} AS toks FROM documents
 ), s AS (
-  SELECT doc_id, toks, ({stop_terms}) / toks AS stop_ratio,
+  SELECT doc_id, toks, CASE WHEN toks = 0 THEN NULL ELSE ({stop_terms}) / toks END AS stop_ratio,
          least(length(tx) / 500.0, 1.0) AS len_score FROM n
 )
 SELECT doc_id, toks AS n_tokens, {_sql_fix('stop_ratio')} AS stop_ratio_e4,
@@ -1390,10 +1397,10 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
 """,
         "doc_token_stats": f"""
-SELECT doc_id, len(string_split({nt}, ' ')) AS n_tokens,
+SELECT doc_id, CAST({_sql_toks(nt)} AS BIGINT) AS n_tokens,
   CAST(len(regexp_extract_all({nt}, '{T.BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
   length({nt}) AS n_chars_norm,
-  {_sql_fix(f"length({nt}) / len(string_split({nt}, ' '))")} AS avg_token_len_e4
+  CASE WHEN {nt} = '' THEN NULL ELSE {_sql_fix(f"length({nt}) / len(string_split({nt}, ' '))")} END AS avg_token_len_e4
 FROM documents
 """,
         "doc_quality": _quality_sql(),
@@ -1407,7 +1414,7 @@ SELECT doc_id,
         w -> CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT))),
     (acc, x) -> (acc * 31 + x) % 1125899906842624
   ) AS roll_fp,
-  CAST(len(string_split({nt}, ' ')) AS BIGINT) AS n_words
+  CAST({_sql_toks(nt)} AS BIGINT) AS n_words
 FROM documents
 """,
         "doc_stratified_sample": f"""
@@ -1698,7 +1705,7 @@ def _curation_sql(golden_path: str) -> str:
     return f"""
 WITH d AS (
   SELECT url, {t} AS tx, string_split({t}, ' ') AS ws,
-         len(string_split({t}, ' ')) AS toks
+         {_sql_toks(t)} AS toks
   FROM '{golden_path}'
 ), s AS (
   SELECT url, tx, toks,

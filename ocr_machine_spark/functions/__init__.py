@@ -20,9 +20,11 @@ def norm_text(col: Column | str) -> Column:
 
 def token_count(col: Column | str) -> Column:
     # long, not int: result-type parity with DuckDB len() (BIGINT) so the
-    # driver's typed value hash matches
+    # driver's typed value hash matches. Empty text has ZERO tokens —
+    # split('') yields [''], a phantom token that would otherwise leak into
+    # every ratio (the SQL twins carry the same CASE guard).
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.split(c, " ")).cast("long")
+    return F.when(c == "", F.lit(0)).otherwise(F.size(F.split(c, " "))).cast("long")
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:

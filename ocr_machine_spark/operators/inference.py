@@ -40,19 +40,35 @@ def predict_linear(
     vec: str = "embedding",
     seed: int = 7,
 ) -> DataFrame:
-    """Per-row inference: logit = w·v + b (fixed-point) and pred = logit > 0."""
+    """Per-row inference: logit = w·v + b (fixed-point) and pred = logit > 0.
+
+    The dot runs in SEQUENTIAL summation order (cumsum trick — the engine's
+    IEEE-parity convention, see functions.dot): a BLAS matvec's partial-sum/
+    FMA accumulation can differ from the DuckDB twin's list_dot_product in
+    the last ulps, flipping fixed_point/pred for logits ulps from a rounding
+    boundary, and varies across BLAS builds. Null / wrong-length embeddings
+    score NULL (never-raise per-row convention, like extract_pages)."""
     w, b = linear_weights(dim, seed)
 
     @pandas_udf("double")
     def logit(v: pd.Series) -> pd.Series:
-        mat = np.vstack(v.to_numpy())
-        return pd.Series(mat @ w + b)
+        vals = v.to_numpy()
+        ok = np.array([x is not None and len(x) == dim for x in vals])
+        out = np.full(len(vals), np.nan)
+        if ok.any():
+            mat = np.vstack(vals[ok])
+            out[ok] = np.cumsum(mat * w[None, :], axis=1)[:, -1] + b
+        return pd.Series(out)
 
     scored = emb.select(
         F.col(key), logit(F.col(vec).cast("array<double>")).alias("z")
     )
+    # gate on NaN explicitly: Spark orders NaN ABOVE every double (NaN > 0
+    # is true) and casts NaN to 0 on long casts — a bad row must surface as
+    # NULL, not as pred=true / logit_e4=0
+    good = ~F.isnan("z")
     return scored.select(
         key,
-        fixed_point(F.col("z")).alias("logit_e4"),
-        (F.col("z") > 0).alias("pred"),
+        F.when(good, fixed_point(F.col("z"))).alias("logit_e4"),
+        F.when(good, F.col("z") > 0).alias("pred"),
     )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ocr_machine_spark.functions import fixed_point, norm_text, token_count
+from ocr_machine_spark.functions import fixed_point, norm_text, token_count, word_shingles
 
 # tiny marker-word lists for the n-gram/stopword language heuristic
 LANG_MARKERS = {
@@ -50,7 +50,8 @@ def token_stats(docs: DataFrame) -> DataFrame:
         toks.alias("n_tokens"),
         F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0)).cast("long").alias("n_bpe_tokens"),
         F.length(t).cast("long").alias("n_chars_norm"),
-        fixed_point(F.length(t) / toks).alias("avg_token_len_e4"),
+        # NULL (not a phantom ratio) for zero-token docs, both engines
+        F.when(toks > 0, fixed_point(F.length(t) / toks)).alias("avg_token_len_e4"),
     )
 
 
@@ -61,12 +62,12 @@ def quality_score(docs: DataFrame) -> DataFrame:
     t = norm_text("text")
     # split once, count many: one array projection feeds all word counters
     d = docs.select("doc_id", t.alias("tx"), F.split(t, " ").alias("ws"))
-    toks = F.size("ws").cast("long")
+    toks = F.when(F.col("tx") == "", F.lit(0)).otherwise(F.size("ws")).cast("long")
     stop_hits = None
     for w in STOPWORDS:
         c = _count_word(F.col("ws"), w)
         stop_hits = c if stop_hits is None else stop_hits + c
-    stop_ratio = stop_hits / toks
+    stop_ratio = F.when(toks > 0, stop_hits / toks)  # NULL for empty docs
     len_score = F.least(F.length("tx") / F.lit(500.0), F.lit(1.0))
     score = len_score * F.lit(0.5) + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.5)
     return d.select(
@@ -82,15 +83,19 @@ def lang_guess(docs: DataFrame) -> DataFrame:
     code. (Heuristic n-gram lang-ID per task brief — scored per language,
     winner-take-all.)"""
     t = norm_text("text")
-    d = docs.select("doc_id", F.split(t, " ").alias("ws"))
-    toks = F.size("ws").cast("long")
+    d = docs.select("doc_id", t.alias("tx"), F.split(t, " ").alias("ws"))
+    toks = F.when(F.col("tx") == "", F.lit(0)).otherwise(F.size("ws")).cast("long")
     cols = []
     for lang in sorted(LANG_MARKERS):
         hits = None
         for w in LANG_MARKERS[lang]:
             c = _count_word(F.col("ws"), w)
             hits = c if hits is None else hits + c
-        cols.append(F.struct((hits / toks).alias("score"), F.lit(lang).alias("lang")))
+        # 0.0 (not NULL) for zero-token docs: every language ties at 0 and
+        # the asc tiebreak picks the same winner on both engines; NULL text
+        # stays NULL (explicit == 0 branch, no otherwise catch-all)
+        score = F.when(toks > 0, hits / toks).when(toks == 0, F.lit(0.0))
+        cols.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
     # argmax with (score desc, lang asc) tiebreak via array_max over structs:
     # struct comparison is lexicographic, so negate... simpler: greatest of
     # structs puts highest score first; ties broken by lang DESC — invert lang
@@ -124,6 +129,13 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 _ROLL_MOD = 1 << 50
 
 
+def _md5_int60(col) -> F.Column:
+    """First 15 md5 hex digits as a BIGINT (< 2^60) — the shared
+    engine-portable string hash (Spark ``conv`` ≡ DuckDB ``0x``-cast); used
+    by rolling/winnowing fingerprints and stratified sampling."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def rolling_fingerprint(docs: DataFrame) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint (task brief: "document
     fingerprinting (rolling hash)") — a Rabin-Karp-style word-level Horner
@@ -135,9 +147,8 @@ def rolling_fingerprint(docs: DataFrame) -> DataFrame:
     bag-of-words hashes it distinguishes word order. Pure JVM expressions;
     per-row cost O(words)."""
     words = F.split(norm_text("text"), " ")
-    word_h = lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")  # noqa: E731
     h = F.aggregate(
-        F.transform(words, word_h),
+        F.transform(words, _md5_int60),
         F.lit(0).cast("long"),
         lambda acc, x: (acc * F.lit(31) + x) % F.lit(_ROLL_MOD),
     )
@@ -163,7 +174,7 @@ def stratified_sample(
     which keeps incremental corpus rebuilds superset-stable). Thresholds are
     folded to exact BIGINT literals driver-side; the filter is one JVM
     expression, pushable to the scan."""
-    h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10).cast("long")
+    h = _md5_int60(F.col(key).cast("string"))
     thr = F.lit(int(default_rate * (1 << 60)))
     for s, rate in sorted(rates.items()):
         thr = F.when(F.col(stratum) == s, F.lit(int(rate * (1 << 60)))).otherwise(thr)
@@ -185,16 +196,9 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
     md5-prefix integer — both engines compute identical BIGINTs, so the
     DuckDB twin replays the algorithm directly. Per-row cost O(words·w);
     no shuffle until the consumer aggregates."""
-    ws = F.split(norm_text("text"), " ")
-    sh = F.when(
-        F.size(ws) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - (k - 1)),
-            lambda i: F.conv(
-                F.substring(F.md5(F.array_join(F.slice(ws, i, k), " ")), 1, 15), 16, 10
-            ).cast("long"),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    # compose the engine-wide shingle builder (shares its sequence(1,0)-
+    # descends guard) with the shared portable hash
+    sh = F.transform(word_shingles(norm_text("text"), k), _md5_int60)
     n_sh = F.size(sh)
     fps = F.when(
         n_sh >= 1,

@@ -122,3 +122,34 @@ def test_stratified_sample_monotone_and_deterministic(spark):
     assert (
         stratified_sample(docs, {"en": 0.5}).filter(F.col("lang") != "en").count() == 0
     )
+
+
+def test_empty_doc_token_stats_zero_not_phantom(spark):
+    """Review fix: split('') yields [''] — empty/whitespace docs must report
+    n_tokens=0 with NULL ratios, not a phantom token."""
+    from ocr_machine_spark.operators.textstats import lang_guess, quality_score, token_stats
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "three real words")], "doc_id long, text string"
+    )
+    ts = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert ts[1]["n_tokens"] == 0 and ts[2]["n_tokens"] == 0 and ts[3]["n_tokens"] == 3
+    assert ts[1]["avg_token_len_e4"] is None and ts[3]["avg_token_len_e4"] is not None
+    qs = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert qs[1]["n_tokens"] == 0 and qs[1]["stop_ratio_e4"] is None
+    lg = {r["doc_id"]: r for r in lang_guess(docs).collect()}
+    assert lg[1]["lang_score_e4"] == 0  # all-tie zero scores, deterministic winner
+    assert lg[1]["pred_lang"] == lg[2]["pred_lang"]
+
+
+def test_inference_bad_rows_score_null(spark):
+    """Review fix: a null or wrong-length embedding yields NULL outputs
+    (never a task crash, never pred=true via Spark's NaN>0 ordering)."""
+    from ocr_machine_spark.operators.inference import predict_linear
+
+    rows = [(1, [0.5] * 4), (2, None), (3, [1.0, 2.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in predict_linear(emb, dim=4).collect()}
+    assert out[1]["logit_e4"] is not None and out[1]["pred"] is not None
+    assert out[2]["logit_e4"] is None and out[2]["pred"] is None
+    assert out[3]["logit_e4"] is None and out[3]["pred"] is None
