@@ -117,7 +117,7 @@ def extract_one(html: bytes | str | None, want_blocks: bool = False) -> ExtractR
     except Exception as exc:  # noqa: BLE001 — survive any malformed page
         return ExtractResult(ok=False, error=f"{type(exc).__name__}: {exc}")
 
-    kept_parts: list[str] = []
+    kept_parts: list[tuple[int, str]] = []  # (start, cleaned) — sorted at the end
     spans: list[tuple[int, int, str]] = []
     removed: list[tuple[int, int, str]] = []
     has_table = False
@@ -125,8 +125,13 @@ def extract_one(html: bytes | str | None, want_blocks: bool = False) -> ExtractR
     block_rows: list[dict] = []
 
     for b in blocks:
-        btext = b.text_of(raw)
-        n_words = len(btext.split())
+        # selection operates on the block's DIRECT-text runs (nested blocks'
+        # text falls in the gaps between runs and is selected by its own
+        # block) — a mixed-content container never re-emits nested text, and
+        # its spans/removed_spans never overlap a nested block's. For a leaf
+        # block there is exactly one run, (start, end) — unchanged behavior.
+        subs = b.direct_spans or [(b.start, b.end)]
+        n_words = sum(len(raw[s:e].split()) for s, e in subs)
 
         # -- gate ladder -------------------------------------------------
         kind: str | None = None
@@ -146,9 +151,30 @@ def extract_one(html: bytes | str | None, want_blocks: bool = False) -> ExtractR
         else:
             kind = KIND_CONTENT
 
-        # fully-struck block → removed outright
-        struck = [(max(s, b.start), min(e, b.end)) for s, e in b.struck_spans]
-        fully_struck = bool(struck) and struck[0][0] <= b.start and struck[-1][1] >= b.end and len(struck) == 1
+        survived = False
+        if reason is not None:
+            removed.extend((s, e, reason) for s, e in subs)
+        else:
+            struck = sorted(b.struck_spans)
+            for s, e in subs:
+                st = [(max(ss, s), min(se, e)) for ss, se in struck if ss < e and se > s]
+                # fully-struck run → removed outright
+                if len(st) == 1 and st[0][0] <= s and st[0][1] >= e:
+                    removed.append((s, e, REASON_STRUCK))
+                    continue
+                # partially-struck: excise struck sub-spans, record them
+                expanded = []
+                for ss, se in st:
+                    es, ee = _expand_span(raw, ss, se)
+                    es, ee = max(es, s), min(ee, e)
+                    expanded.append((es, ee))
+                    removed.append((es, ee, REASON_STRUCK))
+                cleaned = _excise(raw[s:e], s, expanded)
+                if not cleaned.strip():
+                    continue
+                kept_parts.append((s, cleaned))
+                spans.append((s, e, kind))
+                survived = True
 
         if want_blocks:
             # lines ≈ 80-char wrap — Boilerpipe's text-density denominator
@@ -160,12 +186,14 @@ def extract_one(html: bytes | str | None, want_blocks: bool = False) -> ExtractR
                     "depth": b.depth,
                     "start": b.start,
                     "end": b.end,
-                    "text": btext,
+                    "text": b.text_of(raw),
                     "n_chars": b.n_chars,
                     "n_words": n_words,
                     "link_density": round(b.link_density, 6),
                     "text_density": round(n_words / n_lines, 6),
-                    "is_content": kind is not None and not fully_struck,
+                    # is_content reflects what actually reached the output
+                    # (an excised-to-empty block is NOT content)
+                    "is_content": survived,
                     "kind": kind,
                     "reason": reason,
                     "row_idx": b.row_idx,
@@ -177,26 +205,11 @@ def extract_one(html: bytes | str | None, want_blocks: bool = False) -> ExtractR
                 }
             )
 
-        if reason is not None:
-            removed.append((b.start, b.end, reason))
-            continue
-        if fully_struck:
-            removed.append((b.start, b.end, REASON_STRUCK))
-            continue
-
-        # partially-struck: excise struck sub-spans, record them
-        expanded = []
-        for s, e in struck:
-            es, ee = _expand_span(raw, s, e)
-            es, ee = max(es, b.start), min(ee, b.end)
-            expanded.append((es, ee))
-            removed.append((es, ee, REASON_STRUCK))
-        cleaned = _excise(btext, b.start, expanded)
-        if not cleaned.strip():
-            continue
-        kept_parts.append(cleaned)
-        spans.append((b.start, b.end, kind))
-
+    # document reading order = span order (O4): a nested kept block renders
+    # BETWEEN its parent's direct runs, and block order alone would put it
+    # after — sort by start (disjoint spans, so start is a total order)
+    kept_parts.sort(key=lambda t: t[0])
+    spans.sort(key=lambda t: (t[0], t[1]))
     removed.sort(key=lambda t: (t[0], t[1]))
     if block_rows:
         # resolve the Relationships graph (reference block model: parent→child
@@ -216,7 +229,7 @@ def extract_one(html: bytes | str | None, want_blocks: bool = False) -> ExtractR
             r["child_seqs"] = children.get(i, [])
             del r["_block"]
 
-    extracted = "\n".join(kept_parts)
+    extracted = "\n".join(t for _, t in kept_parts)
     return ExtractResult(
         ok=True,
         extracted_text=extracted,

@@ -432,6 +432,12 @@ class Block:
     end: int = -1
     n_chars: int = 0
     link_chars: int = 0  # chars inside <a> descendants → link_density
+    # DIRECT-text runs of this block (nested blocks' text excluded), merged
+    # across renderer separators. For a leaf block this is one span equal to
+    # (start, end); for a mixed-content container (direct text around a
+    # nested block) the nested hull falls in a GAP — the extractor selects
+    # per sub-span so nested text is never double-emitted.
+    direct_spans: list[tuple[int, int]] = field(default_factory=list)
     struck_spans: list[tuple[int, int]] = field(default_factory=list)
     boiler: bool = False  # nav/header/footer/aside ancestor
     in_table: bool = False
@@ -537,6 +543,14 @@ class _Renderer:
             if b.start < 0:
                 b.start = start
             b.end = end
+            # direct-run bookkeeping: a ≤1-char gap is a renderer separator
+            # (merge); ≥2 chars means a nested block's text intervened (a
+            # nested block always renders between two separators, so its
+            # gap is ≥ 3) → start a new sub-span
+            if b.direct_spans and start - b.direct_spans[-1][1] <= 1:
+                b.direct_spans[-1] = (b.direct_spans[-1][0], end)
+            else:
+                b.direct_spans.append((start, end))
             b.n_chars += nch
             if self._link_depth > 0:
                 b.link_chars += nch

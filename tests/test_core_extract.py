@@ -161,3 +161,73 @@ def test_blocks_output():
     assert "LAYOUT_TEXT" in types
     for b in r.blocks:
         assert r.raw_text[b["start"] : b["end"]] == b["text"]
+
+
+def test_nested_block_text_never_duplicated():
+    """Review fix: a mixed-content container (direct text bracketing a nested
+    block) used to re-emit the nested block's text inside its own hull span —
+    silently duplicating content into training data."""
+    from ocr_machine_spark.core.extract import extract_one
+
+    r = extract_one(
+        "<div>Intro words here for the gate test "
+        "<p>Nested paragraph words beyond the short gate</p>"
+        " outro words tail beyond gate limit</div>"
+    )
+    assert r.ok
+    assert r.extracted_text.count("Nested paragraph words") == 1
+    # kept spans are pairwise disjoint
+    ss = sorted((s, e) for s, e, _ in r.spans)
+    assert all(ss[i][1] <= ss[i + 1][0] for i in range(len(ss) - 1))
+    # reading order: intro, nested, outro
+    ti = r.extracted_text.index
+    assert ti("Intro") < ti("Nested") < ti("outro")
+
+
+def test_removed_spans_never_cover_kept_content():
+    """Review fix: removing a link-farm parent used to record its full hull
+    (covering a kept nested block) as removed — spans/removed_spans must
+    partition, not overlap."""
+    from ocr_machine_spark.core.extract import extract_one
+
+    r = extract_one(
+        "<div><a>Home</a> <a>About</a> <a>More</a>"
+        "<p>Real nested article content words beyond the five word gate</p>"
+        " <a>Terms</a> <a>Priv</a></div>"
+    )
+    assert r.ok and "Real nested article" in r.extracted_text
+    for rs, re_, _ in r.removed_spans:
+        for ks, ke, _ in r.spans:
+            assert not (rs < ke and re_ > ks), ((rs, re_), (ks, ke))
+
+
+def test_parent_gates_use_direct_text_only():
+    """Review fix: a parent with 2 direct words must not pass the
+    MIN_CONTENT_WORDS gate via its nested child's words."""
+    from ocr_machine_spark.core.extract import extract_one
+
+    r = extract_one(
+        "<div>Tiny intro <p>Nested paragraph words beyond the short gate "
+        "easily</p> wee</div>"
+    )
+    assert r.ok
+    assert "Nested paragraph words" in r.extracted_text
+    assert "Tiny intro" not in r.extracted_text  # direct text is 2+1 words -> short
+    reasons = {reason for _, _, reason in r.removed_spans}
+    assert "short" in reasons
+
+
+def test_excised_to_empty_block_not_content():
+    """Review fix: a block whose text is entirely excised by multiple struck
+    runs must report is_content=False in the block layer."""
+    from ocr_machine_spark.core.extract import extract_one
+
+    r = extract_one(
+        "<p><del>first struck run of words</del> <del>second struck run of "
+        "words</del></p><p>Real content words beyond the five word gate</p>",
+        want_blocks=True,
+    )
+    assert r.ok
+    by_start = sorted(r.blocks, key=lambda b: b["start"])
+    assert by_start[0]["is_content"] is False
+    assert by_start[1]["is_content"] is True
