@@ -123,6 +123,8 @@ def extract_one(html: bytes | str | None, want_blocks: bool = False) -> ExtractR
     has_table = False
     has_figure = False
     block_rows: list[dict] = []
+    content_blocks = 0  # BLOCKS that reached the output (a mixed-content
+    # container contributes several spans but is one content block)
 
     for b in blocks:
         # selection operates on the block's DIRECT-text runs (nested blocks'
@@ -175,6 +177,8 @@ def extract_one(html: bytes | str | None, want_blocks: bool = False) -> ExtractR
                 kept_parts.append((s, cleaned))
                 spans.append((s, e, kind))
                 survived = True
+        if survived:
+            content_blocks += 1
 
         if want_blocks:
             # lines ≈ 80-char wrap — Boilerpipe's text-density denominator
@@ -240,7 +244,7 @@ def extract_one(html: bytes | str | None, want_blocks: bool = False) -> ExtractR
         has_table=has_table,
         has_figure=has_figure,
         n_blocks=len(blocks),
-        n_content_blocks=len(spans),
+        n_content_blocks=content_blocks,
         chars_in=len(raw),
         chars_out=len(extracted),
     )

@@ -169,6 +169,25 @@ def make_page(i: int, seed: int = 42) -> GoldenPage:
         lines.append((junk, None, "short", []))
         bmeta.append(("LAYOUT_TEXT", None, None, False))
 
+    # mixed-content container (fixture case 9): direct text bracketing a
+    # nested block — the shape whose hull-span handling silently duplicated
+    # nested text pre-round-3. Isolated rng stream so pages WITHOUT this
+    # section are byte-identical to earlier fixture versions.
+    rng_mix = random.Random(f"{seed}:{i}:nested")
+    mixed = (not boiler_only) and rng_mix.random() < 0.25
+    if mixed:
+        m_intro = _sentence(rng_mix, 6, 9)
+        m_nested = _sentence(rng_mix, 6, 9)
+        m_outro = _sentence(rng_mix, 6, 9)
+        html_parts.append(f"<div>{m_intro} <p>{m_nested}</p> {m_outro}</div>")
+        mixed_at = len(lines)  # segment indices: mixed_at, +1, +2
+        lines.append((m_intro, "content", None, []))
+        bmeta.append(("MIXED_PARENT", None, None, False))
+        lines.append((m_nested, "content", None, []))
+        bmeta.append(("LAYOUT_TEXT", None, None, False))
+        lines.append((m_outro, "content", None, []))
+        bmeta.append(("MIXED_OUTRO", None, None, False))  # folds into the parent row
+
     # link-farm sidebar (fails the link-density gate)
     farm_links = [rng.choice(WORDS) for _ in range(6)]
     farm_html = " ".join(f'<a href="/{w}">{w}</a>' for w in farm_links)
@@ -182,7 +201,9 @@ def make_page(i: int, seed: int = 42) -> GoldenPage:
     bmeta.append(("LAYOUT_HEADER", None, None, False))  # boiler p (tag != footer)
     html_parts.append("</body></html>")
 
-    # ---- derive goldens from the line layout (renderer policy: "\n" joins) --
+    # ---- derive goldens from the line layout (renderer policy: "\n" joins —
+    # block enter AND leave both emit a newline separator, so a parent's
+    # resumed text after a nested block is still its own line) --
     raw_lines = [ln[0] for ln in lines]
     raw_text = "\n".join(raw_lines)
     offsets: list[int] = []
@@ -195,10 +216,37 @@ def make_page(i: int, seed: int = 42) -> GoldenPage:
     spans: list[tuple[int, int, str]] = []
     removed: list[tuple[int, int, str]] = []
     blocks: list[dict] = []
-    for (text_line, kind, reason, struck_rel), off, (btype, row_idx, col_idx, header) in zip(
-        lines, offsets, bmeta
+    for idx, ((text_line, kind, reason, struck_rel), off, (btype, row_idx, col_idx, header)) in enumerate(
+        zip(lines, offsets, bmeta)
     ):
         start, end = off, off + len(text_line)
+        if btype == "MIXED_PARENT":
+            # ONE block row for the container, spanning intro..outro (hull)
+            # with n_words from its DIRECT runs only; each run is its own
+            # kept span (the nested <p> between them is its own block/row)
+            outro_text = lines[idx + 2][0]
+            o_start = offsets[idx + 2]
+            blocks.append(
+                {
+                    "block_type": "LAYOUT_TEXT",
+                    "n_words": len(text_line.split()) + len(outro_text.split()),
+                    "is_content": True,
+                    "kind": kind,
+                    "reason": None,
+                    "start": start,
+                    "end": o_start + len(outro_text),
+                    "row_idx": None,
+                    "col_idx": None,
+                    "header": False,
+                }
+            )
+            kept_parts.append(text_line)
+            spans.append((start, end, kind))
+            continue
+        if btype == "MIXED_OUTRO":
+            kept_parts.append(text_line)
+            spans.append((start, end, kind))
+            continue
         blocks.append(
             {
                 "block_type": btype,

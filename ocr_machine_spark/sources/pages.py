@@ -122,7 +122,7 @@ def golden_parquet(n: int, seed: int = 42, base_dir: str = "/tmp/ocr_machine_spa
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = os.path.join(base_dir, f"goldens_v2_n{n}_s{seed}.parquet")
+    path = os.path.join(base_dir, f"goldens_v3_n{n}_s{seed}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(base_dir, exist_ok=True)
