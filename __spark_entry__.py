@@ -1613,7 +1613,7 @@ def _simhash_golden_sql() -> str:
     g = dedup_golden_parquet()
     return f"""
 WITH g AS (SELECT fp, simhash FROM '{g}'),
-d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+d AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents),
 s AS (SELECT doc_id, simhash FROM d JOIN g USING (fp)),
 p AS (
   SELECT a.doc_id AS a, b.doc_id AS b,
@@ -1635,7 +1635,7 @@ def _minhash_golden_sql(bands: int = 8, rows_per_band: int = 4) -> str:
     g = dedup_golden_parquet()
     return f"""
 WITH g AS (SELECT fp, minsig FROM '{g}' WHERE minsig IS NOT NULL),
-d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+d AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents),
 s AS (SELECT doc_id, minsig FROM d JOIN g USING (fp)),
 bands AS (
   SELECT doc_id, band, list_slice(minsig, band*{rows_per_band}+1, band*{rows_per_band}+{rows_per_band}) AS bk

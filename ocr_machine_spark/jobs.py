@@ -69,7 +69,11 @@ def main(argv: list[str] | None = None) -> None:
     from ocr_machine_spark.session import get_spark
 
     spark = get_spark(app=f"extract-{args.run_id}", master=args.master)
-    is_table = os.sep not in args.input and not args.input.startswith("file:")
+    # route to the catalog only when the identifier actually resolves there:
+    # a separator-free heuristic alone would send a bare relative filename
+    # ('pages.parquet') to spark.table() and die with TABLE_OR_VIEW_NOT_FOUND
+    looks_like_table = "/" not in args.input and "\\" not in args.input and not args.input.startswith("file:")
+    is_table = looks_like_table and spark.catalog.tableExists(args.input)
     pages = spark.table(args.input) if is_table else spark.read.parquet(args.input)
     stats = run_extraction(
         spark,

@@ -238,6 +238,10 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, key: str = "doc_id") -> Da
             .filter(F.col("n.rep") != F.col("o.rep"))
             .count()
         )
+        # release the PREVIOUS round's checkpointed labels now that the new
+        # round is materialized — without this, checkpoint storage accumulates
+        # for the life of the job on high-diameter graphs
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -306,10 +310,19 @@ def dedup_clusters_star(docs: DataFrame, pairs: DataFrame, key: str = "doc_id") 
     while True:
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         nxt_sig = _sig(nxt)
+        # the fingerprint is a cheap per-round screen; termination itself is
+        # confirmed EXACTLY (symmetric difference empty) so a 64-bit hash
+        # collision can never end the loop early with wrong components — the
+        # exact check only runs on rounds the fingerprint already passed
+        stable = nxt_sig == prev_sig and (
+            nxt.exceptAll(edges).union(edges.exceptAll(nxt)).isEmpty()
+        )
+        # release the previous round's checkpoint once the new one is live
+        edges.unpersist()
         edges = nxt
-        if nxt_sig == prev_sig:
-            break
         prev_sig = nxt_sig
+        if stable:
+            break
     # converged: every edge is (node, component_min); isolated docs are their
     # own component
     labels = edges.select(F.col("u").alias("node"), F.col("v").alias("rep"))

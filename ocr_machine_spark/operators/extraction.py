@@ -135,14 +135,22 @@ def repartition_salted(df: DataFrame, n_partitions: int, key: str = "url", salt_
     stages (per-row extraction): even when many rows share one ``key`` value
     (duplicate crawls of a url, a mega-host), the salt spreads them across
     ``salt_buckets`` sub-partitions. Placement only — per-url RESULTS are
-    byte-identical under any placement (CI-asserted) — so the salt may vary
-    per row and across runs; a key-derived "salt" would be a no-op (any pure
-    function of the key induces the key's own partition classes). Keyed
-    AGGREGATION stages must not use this (salting breaks co-location); they
-    need the two-phase salted-partial-agg pattern instead. Analogue of the
-    reference's fixed-size chunk split for API limits
-    (``run_textract.py:8-31``), done logically."""
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    byte-identical under any placement (CI-asserted). The salt must still be
+    DETERMINISTIC per row: a non-deterministic one (rand(),
+    monotonically_increasing_id()) re-derives differently when a map task is
+    recomputed after a shuffle-fetch failure — routine at 100 TB — and routes
+    rows to reducers that already fetched their output, silently dropping or
+    duplicating rows (the SPARK-23207 round-robin-repartition failure class).
+    So the salt is content-derived: a hash over ALL columns varies across
+    duplicate-``key`` rows (different payload/timestamp ⇒ different salt)
+    while a pure function of the key alone would be a no-op (it induces the
+    key's own partition classes). Byte-identical duplicate rows share a salt
+    — placement skew only to the extent of true full-row duplicates, which a
+    crawl dedupes upstream anyway. Keyed AGGREGATION stages must not use this
+    (salting breaks co-location); they need the two-phase salted-partial-agg
+    pattern instead. Analogue of the reference's fixed-size chunk split for
+    API limits (``run_textract.py:8-31``), done logically."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
     return df.repartition(n_partitions, F.xxhash64(F.col(key)), salt)
 
 

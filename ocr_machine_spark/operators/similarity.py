@@ -21,6 +21,17 @@ from pyspark.sql import functions as F
 from ocr_machine_spark.functions import dot_literal_sql, dot_unrolled_sql, fixed_point
 
 
+def _valid_vecs(emb: DataFrame, vec: str, dim: int) -> DataFrame:
+    """Rows whose vector is non-null and exactly ``dim`` wide. Every scoring
+    path must pass through this first (never-raise-per-row convention, as in
+    ``inference.predict_linear``): under ANSI mode (pyspark ≥ 4 default) an
+    ``element_at`` past a short vector's end throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT and kills the whole job, and a NULL or
+    ragged vector crashes the ``np.vstack`` Arrow stages — one corrupt row
+    must degrade to "excluded", not "job dead"."""
+    return emb.filter(F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim))
+
+
 def _dim_of(emb: DataFrame, vec: str) -> int:
     """Embedding width from the first NON-NULL vector (1 on empty/all-null
     input — any dim yields the correct empty result with the right schema).
@@ -55,6 +66,7 @@ def cosine_topk(
     from pyspark.sql.window import Window
 
     dim = dim or _dim_of(emb, vec)
+    emb = _valid_vecs(emb, vec, dim)
     v = F.col(vec).cast("array<double>")
     norm = f"SQRT({dot_unrolled_sql('v', 'v', dim)})"
     base = emb.select(F.col(key).alias("nid"), v.alias("v")).withColumn("vn", F.expr(norm))
@@ -117,6 +129,7 @@ def embedding_dup_pairs(
         # shared null-skipping probe (round-2 advice: empty input must not
         # raise; round-3 review: a NULL first vector must not truncate dims)
         dim = _dim_of(emb, vec)
+    emb = _valid_vecs(emb, vec, dim)
     bb = srp_band_buckets(
         emb, dim=dim, bands=bands, planes_per_band=planes_per_band, key=key, vec=vec
     ).cache()  # tiny (n·bands rows); both sides of the self-join reuse it
@@ -285,6 +298,7 @@ def ann_topk_ivf(
             [], "qid long, neighbor_id long, sim_e4 long, rk long"
         )
     dim = dim or len(cents[0][1])
+    emb = _valid_vecs(emb, vec, dim)
     # Cell assignment is the per-row O(n_cells·dim) quantizer — the table-scan
     # hot loop. Run it as ONE Arrow-batched numpy stage: products summed with
     # the cumsum sequential-order trick (see _seq_cosine_verify), so every
@@ -399,6 +413,7 @@ def ivf_train(
     cents = sorted((r[0], list(r[1])) for r in head.collect())
     if not cents:
         return emb.sparkSession.createDataFrame([], "cell long, pos long, sum_e6 long, n long")
+    emb = _valid_vecs(emb, vec, len(cents[0][1]))
 
     stats_df = None
     for _ in range(iters):
@@ -491,6 +506,7 @@ def ann_topk_lsh(
     ``cosine`` — oracle hash unchanged)."""
     from pyspark.sql.window import Window
 
+    emb = _valid_vecs(emb, vec, dim)
     buckets = srp_buckets(emb, dim=dim, n_planes=n_planes, key=key, vec=vec)
     v = F.col(vec).cast("array<double>")
     norm = f"SQRT({dot_unrolled_sql('v', 'v', dim)})"

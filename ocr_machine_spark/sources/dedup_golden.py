@@ -102,12 +102,17 @@ def dedup_golden_parquet(
     import pyarrow.parquet as pq
 
     tag = hashlib.md5("|".join(sf_dirs).encode()).hexdigest()[:8]
-    path = os.path.join(base_dir, f"dedup_goldens_v1_{tag}.parquet")
+    path = os.path.join(base_dir, f"dedup_goldens_v2_{tag}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(base_dir, exist_ok=True)
 
-    texts: dict[str, str] = {}
+    # sentinel row for empty text, present regardless of corpus content: the
+    # SQL twins join on md5(coalesce(text, '')), so a NULL-text document maps
+    # here and gets the same signature the Spark operator assigns it
+    # (simhash 0; no minhash signature) instead of silently dropping out of
+    # the twin's pair set
+    texts: dict[str, str] = {hashlib.md5(b"").hexdigest(): ""}
     for d in sf_dirs:
         tbl = pq.read_table(os.path.join(d, "documents.parquet"), columns=["text"])
         for t in tbl.column("text").to_pylist():

@@ -84,3 +84,46 @@ def test_simhash_empty_doc_signature_is_zero(spark):
     cache = {}
     assert simhash_py("", cache) == 0 and simhash_py(None, cache) == 0
     assert simhash_py("real words here", cache) == out[4]
+
+
+def test_similarity_ops_survive_null_and_ragged_vectors(spark):
+    """One corrupt row must degrade to "excluded", never "job dead": under
+    ANSI mode (pyspark >= 4 default) an unguarded element_at past a short
+    vector's end throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT, and a NULL/ragged
+    vector crashes the np.vstack Arrow stages. _valid_vecs gates every
+    scoring path."""
+    import numpy as np
+
+    from ocr_machine_spark.operators.similarity import (
+        ann_topk_ivf,
+        ann_topk_lsh,
+        cosine_topk,
+        embedding_dup_pairs,
+        ivf_train,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(20)]
+    rows.append((20, None))  # NULL vector
+    rows.append((21, [1.0, 2.0]))  # short vector
+    rows.append((22, [0.0] * 12))  # long vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    topk = cosine_topk(emb, [0, 1], k=3).collect()
+    assert len(topk) == 6
+    bad = {20, 21, 22}
+    assert not ({r["neighbor_id"] for r in topk} & bad)
+
+    lsh = ann_topk_lsh(emb, [0], k=3, dim=8).collect()
+    assert not ({r["neighbor_id"] for r in lsh} & bad)
+
+    ivf = ann_topk_ivf(emb, [0], k=3, n_cells=4, n_probe=4).collect()
+    assert not ({r["neighbor_id"] for r in ivf} & bad)
+
+    pairs = embedding_dup_pairs(emb, threshold=-1.0).collect()
+    assert not ({r["a"] for r in pairs} | {r["b"] for r in pairs}) & bad
+
+    stats = ivf_train(emb, k=4, iters=1).collect()
+    # 22 valid 8-dim vectors (ids 0..19 plus none of the bad ones) -> the
+    # per-cell member counts must total 20
+    assert sum({r["cell"]: r["n"] for r in stats}.values()) == 20
