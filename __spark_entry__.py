@@ -811,6 +811,7 @@ def _extraction_e2e(spark, sf_dir):
     out = extract_pages(_fixture_pages(spark, N_E2E), partitions=8)
     return out.select(
         "url",
+        "charset",
         "extracted_text",
         F.size("spans").cast("long").alias("n_spans"),
         F.size("removed_spans").cast("long").alias("n_removed"),
@@ -1821,7 +1822,7 @@ def _golden_oracles() -> dict[str, str]:
     g_int = golden_parquet(N_INTEGRITY)
     return {
         "extraction_e2e": f"""
-SELECT url, extracted_text,
+SELECT url, charset, extracted_text,
   CAST(len(spans) AS BIGINT) AS n_spans,
   CAST(len(removed_spans) AS BIGINT) AS n_removed,
   CAST(length(extracted_text) AS BIGINT) AS chars_out,

@@ -28,9 +28,78 @@ truth, never mutate-then-measure.
 
 from __future__ import annotations
 
+import codecs
+import re
 from dataclasses import dataclass, field
 
 from ocr_machine_spark.core.htmlparse import block_type_of, render_page
+
+# ---------------------------------------------------------------------------
+# Charset sniffing (WHATWG-style, simplified). A real Common-Crawl corpus is a
+# meaningful fraction non-UTF-8 (windows-125x, shift_jis, gbk, iso-8859-x);
+# decoding those as UTF-8 silently mojibakes them into training data — the
+# same silent-corruption class as the round-3 nested-text duplication. The
+# reference's per-page input-tolerance pattern
+# (``python_files/table_detector_agent.py:193-206``) maps here to: sniff,
+# decode with the declared charset, never raise, record what was used.
+# Precedence: BOM → declared charset in the first 1024 bytes (the spec window
+# for <meta charset> / http-equiv / <?xml encoding?>) → UTF-8 fallback.
+# ---------------------------------------------------------------------------
+
+_SNIFF_BYTES = 1024
+# matches both <meta charset="..."> and
+# <meta http-equiv="Content-Type" content="text/html; charset=...">
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]{0,512}?charset\s*=\s*["']?([A-Za-z0-9._:\-]+)""", re.IGNORECASE
+)
+_XML_ENC_RE = re.compile(
+    rb"""^<\?xml[^>]{0,256}?encoding\s*=\s*["']([A-Za-z0-9._:\-]+)["']""", re.IGNORECASE
+)
+
+# WHATWG maps the latin-1 family to windows-1252 (a strict superset on the
+# bytes real pages actually emit — 0x80-0x9F are curly quotes/dashes there,
+# C1 controls in strict iso-8859-1)
+_CHARSET_ALIASES = {
+    "iso-8859-1": "windows-1252",
+    "latin-1": "windows-1252",
+    "latin1": "windows-1252",
+    "l1": "windows-1252",
+    "us-ascii": "windows-1252",
+    "ascii": "windows-1252",
+}
+
+
+def sniff_charset(data: bytes) -> str:
+    """Codec name to decode ``data`` with (always a valid Python codec).
+
+    Returned names are ``codecs.lookup(...).name``-normalized (e.g. a
+    ``windows-1252`` declaration reports ``cp1252``) so the recorded charset
+    is one canonical string per encoding. BOM'd UTF-16/32 return the
+    BOM-consuming codec ("utf-16"/"utf-32", which strip the BOM on decode —
+    the -le/-be variants would leak U+FEFF into the text).
+    """
+    if data.startswith(codecs.BOM_UTF8):
+        return "utf-8-sig"
+    # utf-32-le's BOM starts with utf-16-le's — test the wider one first
+    if data.startswith(b"\xff\xfe\x00\x00") or data.startswith(b"\x00\x00\xfe\xff"):
+        return "utf-32"
+    if data.startswith(codecs.BOM_UTF16_LE) or data.startswith(codecs.BOM_UTF16_BE):
+        return "utf-16"
+    head = bytes(data[:_SNIFF_BYTES])
+    m = _META_CHARSET_RE.search(head) or _XML_ENC_RE.match(head)
+    if m:
+        label = m.group(1).decode("ascii", "replace").strip().lower()
+        label = _CHARSET_ALIASES.get(label, label)
+        try:
+            info = codecs.lookup(label)
+        except LookupError:
+            return "utf-8"  # unknown label → fallback, never raise
+        # an ASCII-visible declaration cannot truthfully declare a BOM-less
+        # UTF-16/32 document (WHATWG: such a claim is ignored)
+        if info.name.startswith(("utf-16", "utf-32")):
+            return "utf-8"
+        return info.name
+    return "utf-8"
 
 # Classification gates (deterministic constants — the graft's DPI-ladder-style
 # fidelity knobs live here, cf. BASELINE.md "Render DPI ladder").
@@ -63,6 +132,7 @@ class ExtractResult:
     n_content_blocks: int = 0
     chars_in: int = 0
     chars_out: int = 0
+    charset: str | None = None  # codec the html bytes were decoded with
     error: str | None = None
 
 
@@ -102,20 +172,25 @@ def extract_one(html: bytes | str | None, want_blocks: bool = False) -> ExtractR
     mirroring the reference's per-page try/except
     (``python_files/table_detector_agent.py:193-206``).
     """
+    charset: str | None = None
     try:
         if html is None:
             raise ValueError("html is null")
         if isinstance(html, (bytes, bytearray)):
             if len(html) == 0:
                 raise ValueError("html is empty")
-            text_html = bytes(html).decode("utf-8", errors="replace")
+            b = bytes(html)
+            charset = sniff_charset(b)
+            # errors="replace": a declared-charset page with stray bad bytes
+            # (truncation, bit rot) still decodes totally — never raise
+            text_html = b.decode(charset, errors="replace")
         else:
             if not html:
                 raise ValueError("html is empty")
             text_html = html
         raw, blocks = render_page(text_html)
     except Exception as exc:  # noqa: BLE001 — survive any malformed page
-        return ExtractResult(ok=False, error=f"{type(exc).__name__}: {exc}")
+        return ExtractResult(ok=False, charset=charset, error=f"{type(exc).__name__}: {exc}")
 
     kept_parts: list[tuple[int, str]] = []  # (start, cleaned) — sorted at the end
     spans: list[tuple[int, int, str]] = []
@@ -247,4 +322,5 @@ def extract_one(html: bytes | str | None, want_blocks: bool = False) -> ExtractR
         n_content_blocks=content_blocks,
         chars_in=len(raw),
         chars_out=len(extracted),
+        charset=charset,
     )

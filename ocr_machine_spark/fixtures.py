@@ -42,6 +42,16 @@ N_SMALL_HOSTS = 1000
 
 LANGS = ["en", "en", "en", "en", "en", "en", "en", "de", "fr", "es"]
 
+# fixture case 10 (round 4): charset-variant pages. Words must round-trip the
+# page's declared encoding; the goldens carry the UNICODE text, so a green
+# gate proves the sniff-then-decode path recovered the exact non-ASCII
+# content (a UTF-8-only decode mojibakes every one of these).
+CS_WORDS = {
+    "cp1252": ["café", "résumé", "naïve", "façade", "entrée", "décor", "cliché", "señor"],
+    "shift_jis": ["東京", "条例", "市役所", "区域", "建築", "許可", "基準", "住宅"],
+    "utf-8-sig": ["naïve", "café", "東京", "résumé", "condición", "münchen"],
+}
+
 
 def _sentence(rng: random.Random, lo: int = 8, hi: int = 18) -> str:
     n = rng.randint(lo, hi)
@@ -74,6 +84,9 @@ class GoldenPage:
     # is_content, start, end, row_idx, col_idx, header — the committed-oracle
     # role of the reference's full_response_output.json block list
     blocks: list[dict] = None
+    # codec the html bytes are encoded with — the extractor must sniff and
+    # report exactly this (codecs-normalized name)
+    charset: str = "utf-8"
 
 
 def make_page(i: int, seed: int = 42) -> GoldenPage:
@@ -94,8 +107,25 @@ def make_page(i: int, seed: int = 42) -> GoldenPage:
     with_struck = (not boiler_only) and rng.random() < 0.15
     n_paras = 0 if boiler_only else rng.randint(2, 6)
 
+    # fixture case 10: charset variants on ~24% of content pages (isolated
+    # rng stream, so pages WITHOUT the case keep their fixture-v3 bytes). The
+    # declared charset rides in the head (<meta charset> / http-equiv — both
+    # forms exercised) or as a UTF-8 BOM; the page gains one non-ASCII
+    # content paragraph that only survives a charset-correct decode.
+    rng_cs = random.Random(f"{seed}:{i}:charset")
+    r_cs = rng_cs.random()
+    if boiler_only or r_cs >= 0.24:
+        charset, meta_tag = "utf-8", ""
+    elif r_cs < 0.10:
+        charset, meta_tag = "cp1252", '<meta charset="windows-1252">'
+    elif r_cs < 0.18:
+        charset = "shift_jis"
+        meta_tag = '<meta http-equiv="Content-Type" content="text/html; charset=shift_jis">'
+    else:
+        charset, meta_tag = "utf-8-sig", ""  # BOM, no declaration
+
     # ---- compose the page; track (visible_text_lines, kept_kind, reason) ----
-    html_parts: list[str] = ["<html><head><title>skip me</title>", "<body>"]
+    html_parts: list[str] = [f"<html><head>{meta_tag}<title>skip me</title>", "<body>"]
     # lines: (text, kind|None, reason|None, struck_rel) where struck_rel is a
     # list of (rel_start, rel_end) struck sub-spans within the line
     lines: list[tuple[str, str | None, str | None, list[tuple[int, int]]]] = []
@@ -141,6 +171,13 @@ def make_page(i: int, seed: int = 42) -> GoldenPage:
             html_parts.append(f"<p>{para}</p>")
             lines.append((para, "content", None, []))
             bmeta.append(("LAYOUT_TEXT", None, None, False))
+
+    if charset != "utf-8":
+        n_cs = rng_cs.randint(5, 8)
+        cs_para = (" ".join(rng_cs.choice(CS_WORDS[charset]) for _ in range(n_cs))).capitalize() + "."
+        html_parts.append(f"<p>{cs_para}</p>")
+        lines.append((cs_para, "content", None, []))
+        bmeta.append(("LAYOUT_TEXT", None, None, False))
 
     if with_table:
         hdr = ["Zone", "Setback", "Height"]
@@ -282,7 +319,9 @@ def make_page(i: int, seed: int = 42) -> GoldenPage:
     return GoldenPage(
         url=url,
         warc_ts=warc_ts,
-        html="".join(html_parts).encode("utf-8"),
+        # "utf-8-sig" prepends the BOM on encode; the kanji/accents in the
+        # charset paragraph are all representable in the page's own codec
+        html="".join(html_parts).encode(charset),
         text=raw_text,
         lang=lang,
         extracted_text="\n".join(kept_parts),
@@ -291,6 +330,7 @@ def make_page(i: int, seed: int = 42) -> GoldenPage:
         has_table=with_table,
         has_figure=with_figure,
         blocks=blocks,
+        charset=charset,
     )
 
 

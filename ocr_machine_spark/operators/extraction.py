@@ -92,6 +92,7 @@ EXTRACT_SCHEMA = StructType(
         StructField("chars_in", LongType(), True),
         StructField("chars_out", LongType(), True),
         StructField("bytes_html", LongType(), True),
+        StructField("charset", StringType(), True),
         StructField("ok", BooleanType(), False),
         StructField("error", StringType(), True),
     ]
@@ -187,6 +188,7 @@ def _extract_batches_arrow(batches):
         ci = []
         co = []
         bh = []
+        cs = []
         so = [0]
         ss: list[int] = []
         se: list[int] = []
@@ -207,6 +209,7 @@ def _extract_batches_arrow(batches):
             ci.append(r.chars_in)
             co.append(r.chars_out)
             bh.append(len(html) if html is not None else 0)
+            cs.append(r.charset)
             for a, b, k in r.spans:
                 ss.append(a)
                 se.append(b)
@@ -244,6 +247,7 @@ def _extract_batches_arrow(batches):
                 pa.array(ci, pa.int64()),
                 pa.array(co, pa.int64()),
                 pa.array(bh, pa.int64()),
+                pa.array(cs, pa.string()),
                 pa.array(oks, pa.bool_()),
                 pa.array(errs, pa.string()),
             ],

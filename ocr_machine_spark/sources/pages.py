@@ -25,7 +25,7 @@ from ocr_machine_spark.fixtures import make_page
 from ocr_machine_spark.operators.extraction import PAGES_SCHEMA
 
 GOLDEN_SCHEMA = (
-    "url string, extracted_text string, "
+    "url string, charset string, extracted_text string, "
     "spans array<struct<start:long,end:long,kind:string>>, "
     "removed_spans array<struct<start:long,end:long,reason:string>>, "
     "has_table boolean, has_figure boolean, "
@@ -44,6 +44,7 @@ def _page_rows(batches: Iterator[pd.DataFrame], seed: int, golden: bool) -> Iter
                 rows.append(
                     (
                         p.url,
+                        p.charset,
                         p.extracted_text,
                         [{"start": s, "end": e, "kind": k} for s, e, k in p.spans],
                         [{"start": s, "end": e, "reason": k} for s, e, k in p.removed_spans],
@@ -63,7 +64,7 @@ def _page_rows(batches: Iterator[pd.DataFrame], seed: int, golden: bool) -> Iter
                     )
                 )
         cols = (
-            ["url", "extracted_text", "spans", "removed_spans", "has_table", "has_figure", "blocks"]
+            ["url", "charset", "extracted_text", "spans", "removed_spans", "has_table", "has_figure", "blocks"]
             if golden
             else ["url", "warc_ts", "html", "text", "lang"]
         )
@@ -122,7 +123,7 @@ def golden_parquet(n: int, seed: int = 42, base_dir: str = "/tmp/ocr_machine_spa
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = os.path.join(base_dir, f"goldens_v3_n{n}_s{seed}.parquet")
+    path = os.path.join(base_dir, f"goldens_v4_n{n}_s{seed}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(base_dir, exist_ok=True)
@@ -149,6 +150,7 @@ def golden_parquet(n: int, seed: int = 42, base_dir: str = "/tmp/ocr_machine_spa
         [
             ("url", pa.string()),
             ("n_html_bytes", pa.int64()),
+            ("charset", pa.string()),
             ("extracted_text", pa.string()),
             ("spans", pa.list_(span_t)),
             ("removed_spans", pa.list_(rspan_t)),
@@ -164,6 +166,7 @@ def golden_parquet(n: int, seed: int = 42, base_dir: str = "/tmp/ocr_machine_spa
             {
                 "url": p.url,
                 "n_html_bytes": len(p.html),
+                "charset": p.charset,
                 "extracted_text": p.extracted_text,
                 "spans": [{"start": s, "end": e, "kind": k} for s, e, k in p.spans],
                 "removed_spans": [{"start": s, "end": e, "reason": r} for s, e, r in p.removed_spans],

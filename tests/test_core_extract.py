@@ -126,7 +126,9 @@ def test_fast_parser_matches_stdlib():
     same rendered text and blocks on the whole fixture corpus + edge cases."""
     from ocr_machine_spark.core.htmlparse import parse_html_fast, parse_html_stdlib
 
-    cases = [p.html.decode() for p in gen_pages(150)] + [
+    # decode each page with its own charset (fixture case 10 pages are
+    # cp1252/shift_jis/BOM'd — the parser operates on already-decoded text)
+    cases = [p.html.decode(p.charset) for p in gen_pages(150)] + [
         "<p>a &amp; b<br>c</p>",
         "<p>one<p>two<li>three",
         "<script>if (a<b) {x='</div>'}</script><p>hi</p>",
@@ -231,3 +233,60 @@ def test_excised_to_empty_block_not_content():
     by_start = sorted(r.blocks, key=lambda b: b["start"])
     assert by_start[0]["is_content"] is False
     assert by_start[1]["is_content"] is True
+
+
+def test_sniff_charset_precedence_and_aliases():
+    from ocr_machine_spark.core.extract import sniff_charset
+
+    # BOM wins over any declaration
+    assert sniff_charset(b"\xef\xbb\xbf<meta charset='shift_jis'>") == "utf-8-sig"
+    assert sniff_charset(b"\xff\xfe<\x00h\x00t\x00m\x00l\x00>\x00") == "utf-16"
+    assert sniff_charset(b"\xff\xfe\x00\x00<\x00\x00\x00") == "utf-32"
+    # declared charset, both meta forms, case-insensitive
+    assert sniff_charset(b'<html><head><meta charset="Windows-1252"></head>') == "cp1252"
+    assert (
+        sniff_charset(
+            b'<meta http-equiv="Content-Type" content="text/html; charset=SHIFT_JIS">'
+        )
+        == "shift_jis"
+    )
+    # WHATWG latin-1 family -> windows-1252
+    assert sniff_charset(b'<meta charset="ISO-8859-1">') == "cp1252"
+    # xml prolog
+    assert sniff_charset(b'<?xml version="1.0" encoding="euc-jp"?><r/>') == "euc_jp"
+    # unknown label / declaration past the 1024-byte window / ASCII-declared
+    # utf-16 (impossible) -> utf-8 fallback
+    assert sniff_charset(b'<meta charset="klingon-8">') == "utf-8"
+    assert sniff_charset(b"x" * 1500 + b'<meta charset="shift_jis">') == "utf-8"
+    assert sniff_charset(b'<meta charset="UTF-16LE">') == "utf-8"
+    assert sniff_charset(b"<html><p>plain</p>") == "utf-8"
+
+
+def test_extract_non_utf8_pages_recover_exact_content():
+    """A declared-charset page must extract its exact non-ASCII characters —
+    the UTF-8-only decode this replaces mojibaked every one of these."""
+    body = "<p>café résumé naïve façade entrée.</p>"
+    w1252 = ('<html><head><meta charset="windows-1252"></head><body>' + body).encode("cp1252")
+    r = extract_one(w1252)
+    assert r.ok and r.charset == "cp1252"
+    assert "café résumé naïve" in r.extracted_text
+
+    jp_body = "<p>東京 条例 市役所 区域 建築.</p>"
+    sjis = (
+        '<html><head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=shift_jis"></head><body>' + jp_body
+    ).encode("shift_jis")
+    r = extract_one(sjis)
+    assert r.ok and r.charset == "shift_jis"
+    assert "東京 条例" in r.extracted_text
+
+    bom = ("<html><body>" + body).encode("utf-8-sig")
+    r = extract_one(bom)
+    assert r.ok and r.charset == "utf-8-sig"
+    assert "café" in r.extracted_text
+    assert "﻿" not in r.raw_text  # BOM stripped, not rendered
+
+    # bad bytes under a declared charset degrade per-char, never raise
+    broken = b'<html><head><meta charset="shift_jis"></head><body><p>' + b"\x81" + b" ok words here now fine</p>"
+    r = extract_one(broken)
+    assert r.ok and r.charset == "shift_jis"
