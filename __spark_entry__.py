@@ -743,23 +743,27 @@ def _approx_percentile_prices(spark, sf_dir):
 
 
 def _media_features(spark, sf_dir):
+    """REAL decode gate (round 4): BMP pixels / WAV samples / Y4M luma planes
+    are parsed from the payload bytes and every one of the 32 feature values
+    is hash-gated (fixed-point e4) against by-construction goldens computed
+    from the generator's arrays — certifying the encode→decode roundtrip of
+    all three public uncompressed container formats plus the exact-int
+    feature math (sources/media_golden.py)."""
     from ocr_machine_spark.operators.multimodal import decode_media, generate_media
 
     media = generate_media(spark, 300, partitions=8)
     feats = decode_media(media)
-    # engine-checkable facts: row counts, byte totals (payload layout is
-    # closed-form in media_id), feature dim, and unit-interval containment.
-    # The stub decode's exact feature values are pinned by local tests
-    # (sha256-derived); the DuckDB twin derives the same facts from
-    # generate_series arithmetic — no decode needed.
-    return feats.groupBy("kind").agg(
-        F.count("*").alias("n"),
-        F.sum("n_bytes").alias("bytes"),
-        F.max(F.size("features")).alias("n_feat"),
-        (
-            (F.min(F.element_at("features", 1)) >= 0.0)
-            & (F.max(F.element_at("features", 1)) <= 1.0)
-        ).alias("f0_in_unit"),
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("features").alias("pos", "fv"),
+    ).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.col("pos").cast("long").alias("pos"),
+        fixed_point(F.col("fv")).alias("feat_e4"),
     )
 
 
@@ -1548,17 +1552,7 @@ SELECT true AS parts_within_bounds, true AS supps_within_bounds
         # 24·(1+id%10)), so the twins derive expectations from
         # generate_series arithmetic — the Spark side must reproduce them
         # through the actual generate→decode/sample operators
-        "media_features": """
-WITH m AS (
-  SELECT i,
-         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         32 * (4 + i % 5) AS nb
-  FROM generate_series(0, 299) t(i)
-)
-SELECT kind, count(*) AS n, CAST(sum(nb) AS BIGINT) AS bytes,
-       CAST(32 AS INTEGER) AS n_feat, true AS f0_in_unit
-FROM m GROUP BY kind
-""",
+        "media_features": _media_golden_sql(),
         "media_resize_plan": """
 WITH m AS (
   SELECT i AS media_id, 64 + (i % 8) * 16 AS w, 64 + (i % 4) * 16 AS h
@@ -1603,6 +1597,15 @@ FROM events GROUP BY 1, 2
 """,
         **_golden_oracles(),
     }
+
+
+def _media_golden_sql() -> str:
+    """DuckDB twin of the real-decode media_features gate: by-construction
+    feature goldens (pre-exploded), plain SELECT — see sources/media_golden.py."""
+    from ocr_machine_spark.sources.media_golden import media_golden_parquet
+
+    g = media_golden_parquet(300)
+    return f"SELECT media_id, kind, n_bytes, pos, feat_e4 FROM '{g}'"
 
 
 def _simhash_golden_sql() -> str:

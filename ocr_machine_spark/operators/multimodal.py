@@ -6,69 +6,52 @@ The reference's raster stage (pdf2image renders, word-crop tensors,
 here to lake-native media handling: one row per asset, ``payload: binary``,
 typed ``meta`` struct, and every transform an Arrow-batched ``mapInPandas``.
 
-The actual codecs (PIL/libav) are NOT in this container, so the decode step is
-STUBBED (clearly marked): ``decode_media`` produces a deterministic fake
-feature map derived from the payload bytes when no codec is importable, and
-raises ``NotImplementedError`` when ``strict=True``. Everything Spark-side —
-schemas, batch shapes, partitioning, UDF signatures, determinism — is real and
-tested; swapping in a real codec changes only the marked inner function.
+Round 4: the decode is REAL. The container ships no PIL/libav, but three
+public uncompressed formats need neither — BMP (24-bit BI_RGB), WAV (RIFF
+PCM16) and Y4M (YUV4MPEG2 4:2:0); ``core/rawmedia.py`` implements their
+byte-level codecs in pure stdlib+numpy, the generator emits real payloads in
+those formats, and ``decode_media``/``resize_images`` parse actual pixels and
+samples. The only remaining stub boundary is COMPRESSED codecs (JPEG/MP3/
+H.264): an unrecognized container yields ``ok=false`` per row (non-strict) or
+raises ``NotImplementedError`` (``strict=True``) at the clearly-marked spot.
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ocr_machine_spark.core import rawmedia as RM
+from ocr_machine_spark.core.rawmedia import FEATURE_DIM  # noqa: F401 (public re-export)
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
     "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
 )
 
-FEATURE_DIM = 32
-
-FEATURES_SCHEMA = f"media_id long, kind string, ok boolean, features array<float>, n_bytes long"
+FEATURES_SCHEMA = "media_id long, kind string, ok boolean, features array<double>, n_bytes long"
 
 FRAMES_SCHEMA = "media_id long, frame_idx int, offset_ms int"
 
 
-def _codec_available() -> bool:
-    try:  # pragma: no cover - container has no PIL
-        import PIL  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """STUB decode: deterministic pseudo-features from payload bytes.
-
-    Stands in for decode→resize→embed. sha256-seeded so re-runs and
-    partitionings are byte-identical (the engine's determinism contract)."""
-    digest = hashlib.sha256(payload).digest()
-    raw = np.frombuffer((digest * ((dim * 4) // len(digest) + 1))[: dim * 4], dtype=np.uint32)
-    return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
-
-
 def generate_media(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes; metadata typed)."""
+    """Deterministic media table with REAL payloads: BMP images, WAV audio,
+    Y4M video — content closed-form in ``media_id`` (``core/rawmedia.py``),
+    so any row regenerates identically on any executor."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kinds = ["image", "audio", "video"]
         for pdf in batches:
             rows = []
             for i in pdf["id"].tolist():
-                kind = kinds[i % 3]
-                payload = hashlib.sha256(f"media:{i}".encode()).digest() * (4 + i % 5)
+                kind = RM.kind_of(i)
+                payload = RM.make_payload(i)
                 meta = {
                     "width": 64 + (i % 8) * 16 if kind == "image" else None,
                     "height": 64 + (i % 4) * 16 if kind == "image" else None,
-                    "sample_rate": 16000 if kind == "audio" else None,
+                    "sample_rate": RM.AUDIO_RATE if kind == "audio" else None,
                     "n_frames": 24 * (1 + i % 10) if kind == "video" else None,
                 }
                 rows.append((i, kind, payload, meta))
@@ -78,11 +61,15 @@ def generate_media(spark: SparkSession, n: int, partitions: int = 8) -> DataFram
 
 
 def decode_media(media: DataFrame, *, strict: bool = False) -> DataFrame:
-    """payload → fixed-dim feature vector per asset (Arrow-batched).
+    """payload → 32-dim feature vector per asset, from REAL decoded content
+    (BMP pixels / WAV samples / Y4M luma planes — ``rawmedia.decode_features``).
 
-    ``strict=True`` demands a real codec and raises ``NotImplementedError``
-    in this container — the clearly-marked stub boundary."""
-    has_codec = _codec_available()
+    Feature math reduces through exact integer sums (deterministic IEEE
+    doubles on any platform/partitioning); an unrecognized or corrupt
+    container is an ``ok=false`` row in non-strict mode — per-row degradation,
+    the same totality contract as ``extract_one`` — and raises
+    ``NotImplementedError`` under ``strict=True`` (a compressed codec would be
+    required; that dependency is not in this container)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -93,13 +80,17 @@ def decode_media(media: DataFrame, *, strict: bool = False) -> DataFrame:
                 if payload is None:
                     rows.append((mid, kind, False, None, 0))
                     continue
-                if strict and not has_codec:
-                    raise NotImplementedError(
-                        "real media decode requires PIL/libav (not in this container); "
-                        "use strict=False for the deterministic stub"
-                    )
-                feats = _fake_decode_features(bytes(payload))
-                rows.append((mid, kind, True, feats.tolist(), len(payload)))
+                try:
+                    _, feats = RM.decode_features(bytes(payload))
+                    rows.append((mid, kind, True, feats, len(payload)))
+                except ValueError as exc:
+                    if strict:
+                        raise NotImplementedError(
+                            f"media {mid}: {exc} — compressed-codec decode requires "
+                            "PIL/libav (not in this container); strict=False degrades "
+                            "to ok=false per row"
+                        ) from exc
+                    rows.append((mid, kind, False, None, len(payload)))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "ok", "features", "n_bytes"])
 
     return media.select("media_id", "kind", "payload").mapInPandas(run, schema=FEATURES_SCHEMA)
@@ -113,17 +104,13 @@ RESIZED_SCHEMA = (
 
 
 def resize_images(media: DataFrame, *, max_side: int = 64, strict: bool = False) -> DataFrame:
-    """image rows → bounded-size variants: metadata is recomputed exactly
-    (aspect-preserving clamp to ``max_side``); the pixel resample itself is
-    the stubbed codec step (PIL absent — ``strict=True`` raises at the same
-    marked boundary as ``decode_media``; the stub passes the payload through
-    with a deterministic marker byte so tests can assert the transform ran).
-    Arrow-batched ``mapInPandas``; the batch shape, schema and partitioning
-    are the real production plumbing — swapping in PIL changes only the
-    marked inner function. Raster-stage analogue:
+    """image rows → bounded-size variants: aspect-preserving clamp to
+    ``max_side`` with a REAL nearest-neighbor resample over decoded BMP
+    pixels (integer index maps — deterministic, no float filter kernels), re-
+    encoded as BMP. Non-BMP payloads pass through unresized (``ok``-style
+    degradation) or raise under ``strict=True``. Raster-stage analogue:
     ``training_strikethrough/processing_scripts/create_bbox_chunked.py:7-26``
     (word-crop resamples to fixed tensors)."""
-    has_codec = _codec_available()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -141,16 +128,20 @@ def resize_images(media: DataFrame, *, max_side: int = 64, strict: bool = False)
                 if (nw, nh) == (w, h):
                     rows.append((mid, payload, meta, False))
                     continue
-                if strict and not has_codec:
-                    raise NotImplementedError(
-                        "real image resample requires PIL (not in this container); "
-                        "use strict=False for the deterministic stub"
-                    )
-                # STUB resample: metadata math is real; pixels are passthrough
-                # + marker byte (deterministic)
+                try:
+                    arr = RM.decode_bmp(bytes(payload))
+                except ValueError as exc:
+                    if strict:
+                        raise NotImplementedError(
+                            f"media {mid}: {exc} — compressed-image resample requires "
+                            "PIL (not in this container)"
+                        ) from exc
+                    rows.append((mid, payload, meta, False))
+                    continue
+                out = RM.encode_bmp(RM.resize_nearest(arr, nw, nh))
                 new_meta = dict(meta)
                 new_meta["width"], new_meta["height"] = nw, nh
-                rows.append((mid, bytes(payload) + b"\x00", new_meta, True))
+                rows.append((mid, out, new_meta, True))
             yield pd.DataFrame(rows, columns=["media_id", "payload", "meta", "resized"])
 
     imgs = media.filter(F.col("kind") == "image").select("media_id", "payload", "meta")
@@ -161,7 +152,8 @@ def sample_frames(media: DataFrame, every_n: int = 24) -> DataFrame:
     """video → deterministic frame-sample plan (frame_idx, offset_ms).
 
     Pure column expressions over the typed metadata — no decode needed to
-    PLAN the sampling; the decode of chosen frames is the stubbed step."""
+    PLAN the sampling; ``decode_frames`` executes the plan against the real
+    Y4M payload."""
     vids = media.filter(F.col("kind") == "video").select(
         "media_id", F.col("meta.n_frames").alias("n_frames")
     )
@@ -174,3 +166,39 @@ def sample_frames(media: DataFrame, every_n: int = 24) -> DataFrame:
             (F.col("k") * every_n * 1000 / 24).cast("int").alias("offset_ms"),
         )
     )
+
+
+SAMPLED_FRAMES_SCHEMA = "media_id long, frame_idx int, luma_mean_e4 long"
+
+
+def decode_frames(media: DataFrame, every_n: int = 24, *, strict: bool = False) -> DataFrame:
+    """Execute the frame-sample plan against the real Y4M payload: decode,
+    take every ``every_n``-th luma plane, emit its exact-integer mean as
+    fixed-point e4 — the decoded counterpart of ``sample_frames``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_id, out_idx, out_mean = [], [], []
+            for mid, payload in zip(pdf["media_id"].tolist(), pdf["payload"].tolist()):
+                if payload is None:
+                    continue
+                try:
+                    _, frames = RM.decode_y4m(bytes(payload))
+                except ValueError as exc:
+                    if strict:
+                        raise NotImplementedError(f"media {mid}: {exc}") from exc
+                    continue
+                n, h, w = frames.shape
+                for fi in range(0, n, every_n):
+                    s = int(frames[fi].astype(np.int64).sum())
+                    out_id.append(mid)
+                    out_idx.append(fi)
+                    out_mean.append(int((s * 10000) // (h * w)))
+            yield pd.DataFrame(
+                {"media_id": out_id, "frame_idx": out_idx, "luma_mean_e4": out_mean}
+            )
+
+    vids = media.filter(F.col("kind") == "video").select("media_id", "payload")
+    return vids.mapInPandas(run, schema=SAMPLED_FRAMES_SCHEMA)

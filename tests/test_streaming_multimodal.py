@@ -78,27 +78,50 @@ def test_stateful_host_totals_match_batch(spark, pages_dir):
     assert j.filter((F.col("n_pages") != F.col("b_n")) | (F.col("bytes_html") != F.col("b_bytes"))).count() == 0
 
 
-def test_media_decode_stub_deterministic(spark):
+def test_media_decode_real_content_deterministic(spark):
+    """The decode is REAL (round 4): features must equal the by-construction
+    goldens computed from the generator's arrays — certifying the BMP/WAV/Y4M
+    encode→decode roundtrip — and stay identical across partitionings."""
+    from ocr_machine_spark.core import rawmedia as RM
+
     media = generate_media(spark, 60, partitions=4).cache()
     feats = decode_media(media)
     rows = {r["media_id"]: r for r in feats.collect()}
     assert len(rows) == 60
     assert all(r["ok"] and len(r["features"]) == 32 for r in rows.values())
-    # deterministic across partitionings
+    for i in (0, 1, 2, 9, 10, 11):  # two of each kind
+        kind = RM.kind_of(i)
+        if kind == "image":
+            want = RM.image_features(RM.image_array(i))
+        elif kind == "audio":
+            want = RM.audio_features(RM.audio_samples(i), RM.AUDIO_RATE)
+        else:
+            want = RM.video_features(RM.video_frames(i), RM.VIDEO_FPS)
+        assert rows[i]["features"] == want, f"media {i} ({kind})"
     rows2 = {r["media_id"]: r for r in decode_media(media.repartition(7)).collect()}
     assert all(rows[k]["features"] == rows2[k]["features"] for k in rows)
-    # values bounded [0,1]
-    assert all(0.0 <= v <= 1.0 for v in rows[0]["features"])
+    assert all(0.0 <= v <= 1.0 for r in rows.values() for v in r["features"])
 
 
-def test_media_decode_strict_raises(spark):
-    media = generate_media(spark, 4, partitions=1)
-    with pytest.raises(Exception) as ei:
+def test_media_decode_unknown_container(spark):
+    """Compressed/unknown containers: ok=false per row non-strict (totality),
+    NotImplementedError under strict — the remaining honest stub boundary."""
+    rows = [(0, "image", b"\x89PNG\r\n\x1a\nfakedata"), (1, "image", None)]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert not out[0]["ok"] and out[0]["features"] is None
+    assert not out[1]["ok"]
+    with pytest.raises(Exception, match="NotImplementedError|compressed-codec"):
         decode_media(media, strict=True).collect()
-    assert "NotImplementedError" in str(ei.value) or "real media decode" in str(ei.value)
 
 
-def test_resize_images_stub(spark):
+def test_resize_images_real_pixels(spark):
+    """Resize decodes real BMP pixels, resamples nearest-neighbor with
+    integer index maps, re-encodes — output payload must decode to EXACTLY
+    the expected pixel array."""
+    import numpy as np
+
+    from ocr_machine_spark.core import rawmedia as RM
     from ocr_machine_spark.operators.multimodal import generate_media, resize_images
 
     media = generate_media(spark, 60, partitions=2)
@@ -114,17 +137,43 @@ def test_resize_images_stub(spark):
             assert bytes(r["payload"]) == bytes(src[mid]["payload"])
         else:
             assert r["resized"]
-            assert bytes(r["payload"]) == bytes(src[mid]["payload"]) + b"\x00"
+            want = RM.resize_nearest(RM.image_array(mid), nw, nh)
+            got = RM.decode_bmp(bytes(r["payload"]))
+            assert np.array_equal(got, want), f"media {mid}"
 
 
-def test_resize_strict_raises(spark):
-    import pytest as _pytest
+def test_resize_strict_raises_on_undecodable(spark):
+    rows = [(0, b"\x89PNG-not-a-bmp", {"width": 100, "height": 100, "sample_rate": None, "n_frames": None}, "image")]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>, kind string",
+    )
+    from ocr_machine_spark.operators.multimodal import resize_images
 
-    from ocr_machine_spark.operators.multimodal import generate_media, resize_images
-
-    media = generate_media(spark, 30, partitions=1)
-    with _pytest.raises(Exception, match="NotImplementedError|resample"):
+    # non-strict: passthrough unresized
+    out = resize_images(media, max_side=32).collect()
+    assert len(out) == 1 and not out[0]["resized"]
+    with pytest.raises(Exception, match="NotImplementedError|resample"):
         resize_images(media, max_side=32, strict=True).collect()
+
+
+def test_decode_frames_executes_plan(spark):
+    """decode_frames parses the real Y4M payload and must agree with the
+    metadata-only sample_frames plan on which frames exist, and with the
+    generator's arrays on each frame's exact luma mean."""
+    import numpy as np
+
+    from ocr_machine_spark.core import rawmedia as RM
+    from ocr_machine_spark.operators.multimodal import decode_frames
+
+    media = generate_media(spark, 30, partitions=2)
+    plan = {(r["media_id"], r["frame_idx"]) for r in sample_frames(media, every_n=24).collect()}
+    got = {(r["media_id"], r["frame_idx"]): r["luma_mean_e4"] for r in decode_frames(media, every_n=24).collect()}
+    assert set(got) == plan
+    for (mid, fi), val in got.items():
+        fr = RM.video_frames(mid)[fi].astype(np.int64)
+        assert val == (int(fr.sum()) * 10000) // fr.size
 
 
 def test_frame_sampling_plan(spark):
