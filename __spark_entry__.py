@@ -594,12 +594,15 @@ def _rank_family_orders(spark, sf_dir):
 
 
 def _ntile_price_bands(spark, sf_dir):
+    """Round 4: the single-partition `ntile OVER (ORDER BY ...)` demo is
+    replaced by operators.ranking.ntile_global — byte-identical assignment
+    (same DuckDB ntile oracle), no SinglePartition window anywhere (plan CI
+    asserts the repo-wide absence)."""
+    from ocr_machine_spark.operators.ranking import ntile_global
+
     orders = _t(spark, sf_dir, "orders")
-    # global ntile is single-partition by construction — query-surface demo,
-    # not a hot-path pattern (at scale: pre-bucket by range partitioner)
-    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
     return (
-        orders.withColumn("band", F.ntile(4).over(w).cast("long"))
+        ntile_global(orders, 4, ["o_totalprice", "o_orderkey"])
         .groupBy("band")
         .agg(F.count("*").alias("n"), F.sum(_cents("o_totalprice")).alias("total_c"))
     )

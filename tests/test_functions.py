@@ -119,3 +119,37 @@ def test_numpy_cumsum_matches_sequential_dot(vecs):
     for x in a:
         acc2 = acc2 + x * x
     assert _bits(_py_l2(a)) == _bits(math.sqrt(acc2))
+
+
+def test_ntile_global_matches_sql_ntile(spark):
+    """ranking.ntile_global must be byte-identical to ntile(n) OVER
+    (ORDER BY ...) — including the uneven-remainder tile sizes — and
+    invariant to input partitioning, without any SinglePartition window."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from ocr_machine_spark.operators.ranking import ntile_global
+
+    rows = [(i, (i * 37) % 101, f"k{i}") for i in range(1003)]  # N % 4 == 3
+    df = spark.createDataFrame(rows, "id long, v long, k string")
+    want = df.withColumn(
+        "band", F.ntile(4).over(Window.orderBy(F.col("v"), F.col("id"))).cast("long")
+    )
+    got = ntile_global(df, 4, ["v", "id"], buckets=8)
+    mism = (
+        got.alias("g")
+        .join(want.alias("w"), "id")
+        .filter(F.col("g.band") != F.col("w.band"))
+        .count()
+    )
+    assert mism == 0
+    got2 = ntile_global(df.repartition(13), 4, ["v", "id"], buckets=8)
+    assert got2.groupBy("band").count().orderBy("band").collect() == (
+        got.groupBy("band").count().orderBy("band").collect()
+    )
+    # fewer rows than tiles: first N tiles get one row each
+    tiny = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    bands = {r["id"]: r["band"] for r in ntile_global(tiny, 4, ["v", "id"]).collect()}
+    assert bands == {1: 1, 2: 2}
+    # empty input
+    assert ntile_global(tiny.filter("v > 99"), 4, ["v", "id"]).count() == 0

@@ -161,3 +161,23 @@ def test_no_python_udf_in_relational_queries(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "mapInPandas" not in plan.lower(), name
+
+
+def test_no_single_partition_window_in_any_query(spark):
+    """A Window over an Exchange SinglePartition is the all-rows-through-one-
+    task shape (global ntile/rank with no PARTITION BY) — banned repo-wide;
+    ntile_price_bands was the last one (replaced by ranking.ntile_global).
+    Scalar aggregates still legitimately finish on a SinglePartition exchange
+    (tiny partial-agg output), so the check targets Window specifically."""
+    import __spark_entry__ as E
+
+    for name, fn in E.queries().items():
+        if name.startswith("streaming_"):
+            continue  # executes a stream on call; covered by streaming tests
+        lines = _physical(fn(spark, SF)).splitlines()
+        for i, line in enumerate(lines):
+            if "Window" not in line or "WindowGroupLimit" in line:
+                continue
+            # the window's child exchange appears within the next few lines
+            below = "\n".join(lines[i + 1 : i + 4])
+            assert "Exchange SinglePartition" not in below, (name, line)
