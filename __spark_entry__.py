@@ -452,7 +452,7 @@ def _ann_cosine_topk(spark, sf_dir):
 
 
 def _ann_lsh_topk(spark, sf_dir):
-    return S.ann_topk_lsh(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, dim=EMB_DIM, n_planes=8)
+    return S.ann_topk_lsh(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, dim=EMB_DIM)
 
 
 def _ann_ivf_topk(spark, sf_dir):
@@ -1657,30 +1657,41 @@ SELECT j.a, j.b, j.jaccard_e4 FROM j JOIN cand USING (a, b)
 """
 
 
-def _ann_lsh_sql(n_planes: int = 8) -> str:
-    """DuckDB twin of ann_topk_lsh: identical SRP hyperplanes as literals;
-    bucket bits from list_dot_product signs (bit-identical to the Spark
-    sequential dot), candidates = same non-empty bucket, exact cosine top-k."""
+def _ann_lsh_sql(bands: int = 16, planes_per_band: int = 4) -> str:
+    """DuckDB twin of the BANDED ann_topk_lsh (round 4): identical SRP
+    hyperplanes as literals; per-band bucket bits from list_dot_product signs
+    (bit-identical to the Spark sequential-cumsum projections); candidates =
+    share ANY (band, bucket) with a query; exact cosine top-k on candidates."""
     from ocr_machine_spark.operators.similarity import _planes
 
-    planes = _planes(EMB_DIM, n_planes)
-    bits = " + ".join(
-        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in planes[j])}]) > 0 "
-        f"THEN {1 << j} ELSE 0 END)"
-        for j in range(n_planes)
+    planes = _planes(EMB_DIM, bands * planes_per_band)
+
+    def _band_bucket(b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in planes[b * planes_per_band + j])}]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(planes_per_band)
+        )
+
+    structs = ", ".join(
+        f"{{'band': {b}, 'bucket': CAST({_band_bucket(b)} AS BIGINT)}}" for b in range(bands)
     )
     ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
-    cos = "list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
+    cos = (
+        "list_dot_product(eq.v, en.v) / "
+        "(sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(en.v, en.v)))"
+    )
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-b AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM e),
-q AS (
-  SELECT e.vec_id AS qid, e.v AS qv, b.bucket AS qbucket
-  FROM e JOIN b USING (vec_id) WHERE vec_id IN ({ids})
+bb0 AS (SELECT vec_id, unnest([{structs}]) AS s FROM e),
+bb AS (SELECT vec_id, s.band AS band, s.bucket AS bucket FROM bb0),
+qb AS (SELECT vec_id AS qid, band, bucket FROM bb WHERE vec_id IN ({ids})),
+cand AS (
+  SELECT DISTINCT bb.vec_id AS nid, qb.qid AS qid
+  FROM bb JOIN qb USING (band, bucket) WHERE bb.vec_id != qb.qid
 ), scored AS (
-  SELECT qid, e.vec_id AS nid, {_sql_fix(cos)} AS sim_e4
-  FROM q JOIN b ON b.bucket = q.qbucket JOIN e ON e.vec_id = b.vec_id
-  WHERE e.vec_id != qid
+  SELECT qid, nid, {_sql_fix(cos)} AS sim_e4
+  FROM cand JOIN e en ON en.vec_id = cand.nid JOIN e eq ON eq.vec_id = cand.qid
 ), r AS (
   SELECT qid, nid AS neighbor_id, sim_e4,
          row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, nid ASC) AS rk

@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ocr_machine_spark.functions import dot_literal_sql, dot_unrolled_sql, fixed_point
+from ocr_machine_spark.functions import dot_unrolled_sql, fixed_point
 
 
 def _valid_vecs(emb: DataFrame, vec: str, dim: int) -> DataFrame:
@@ -194,29 +194,6 @@ def _py_l2(vec) -> float:
     return math.sqrt(acc)
 
 
-def srp_buckets(emb: DataFrame, *, dim: int, n_planes: int = 16, key: str = "vec_id", vec: str = "embedding") -> DataFrame:
-    """Signed-random-projection bucket id per vector — pure JVM expressions
-    with literal hyperplanes. Dot products go through the engine-wide
-    sequential ``dot`` (left-to-right aggregate), which is bit-identical to
-    DuckDB's ``list_dot_product`` — that's what makes the ANN query
-    hash-oracle-able (a numpy matmul has no defined summation order, so a
-    near-zero projection could flip a bucket bit between engines).
-
-    Each projection is ``dot_literal_sql`` — the plane folds to codegen'd
-    literal multiply-adds (identical IEEE sequence to the interpreted ``dot``
-    it replaces), so the n_planes dots per row run inside whole-stage
-    codegen; the whole bucket expression is ONE driver-side expr parse."""
-    planes = _planes(dim, n_planes)
-    bucket = " | ".join(
-        f"(CASE WHEN {dot_literal_sql('__v', list(planes[j]))} > 0 "
-        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for j in range(n_planes)
-    )
-    return emb.select(
-        F.col(key).alias("vec_id"), F.col(vec).cast("array<double>").alias("__v")
-    ).selectExpr("vec_id", f"({bucket}) AS bucket")
-
-
 def srp_band_buckets(
     emb: DataFrame,
     *,
@@ -229,27 +206,39 @@ def srp_band_buckets(
     """Banded SRP buckets: one row per (vector, band); ``bucket`` packs the
     band's sign bits. Pairs agreeing on all planes of any band share a
     (band, bucket) key — the MinHash-LSH banding trick for cosine space.
-    Vectorized numpy over Arrow batches: one matmul per batch, no per-row
-    Python."""
+
+    Projections run vectorized over Arrow batches but summed in SEQUENTIAL
+    order (chunked cumsum, the ``_seq_cosine_verify`` idiom), so each sign —
+    and therefore every bucket id — is bit-identical to a DuckDB
+    ``list_dot_product`` twin: a numpy matmul has no defined summation order,
+    and a near-zero projection could flip a bucket bit between engines,
+    breaking the hash oracle."""
     n_planes = bands * planes_per_band
     planes = _planes(dim, n_planes)
+    weights = 1 << np.arange(planes_per_band, dtype=np.int64)
 
     def gen(batches):
+        chunk = 256  # bounds the (rows × planes × dim) cumsum intermediate
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf[key].to_numpy()
-            mat = np.vstack(pdf[vec].to_numpy())
-            signs = (mat @ planes.T) > 0  # (n, bands*ppb)
-            weights = (1 << np.arange(planes_per_band, dtype=np.int64))
-            out_ids = np.repeat(ids, bands)
-            out_band = np.tile(np.arange(bands, dtype=np.int64), len(ids))
-            buckets = (
-                signs.reshape(len(ids), bands, planes_per_band).astype(np.int64) * weights
-            ).sum(axis=2)
-            yield pd.DataFrame(
-                {"vec_id": out_ids, "band": out_band, "bucket": buckets.reshape(-1)}
-            )
+            ids_all = pdf[key].to_numpy()
+            mat_all = np.vstack(pdf[vec].to_numpy()).astype(np.float64)
+            for s in range(0, len(ids_all), chunk):
+                ids = ids_all[s : s + chunk]
+                mat = mat_all[s : s + chunk]
+                proj = np.cumsum(mat[:, None, :] * planes[None, :, :], axis=2)[:, :, -1]
+                buckets = (
+                    (proj > 0).reshape(len(ids), bands, planes_per_band).astype(np.int64)
+                    * weights
+                ).sum(axis=2)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(ids, bands),
+                        "band": np.tile(np.arange(bands, dtype=np.int64), len(ids)),
+                        "bucket": buckets.reshape(-1),
+                    }
+                )
 
     return emb.select(key, vec).mapInPandas(gen, schema="vec_id long, band long, bucket long")
 
@@ -494,38 +483,49 @@ def ann_topk_lsh(
     k: int = 10,
     *,
     dim: int,
-    n_planes: int = 8,
+    bands: int = 16,
+    planes_per_band: int = 4,
     key: str = "vec_id",
     vec: str = "embedding",
 ) -> DataFrame:
-    """ANN: only score candidates sharing the query's SRP bucket.
-    Recall < 1 by design; the bench compares it against cosine_topk.
+    """Banded-LSH ANN: candidates are rows sharing ANY (band, bucket) with
+    the query — the OR-of-bands construction. Round 4 replaced the original
+    single-bucket variant (all n_planes bits equal) after the new recall gate
+    measured it at ~0 recall@10 on the sf0.01 corpus: for a neighbor at angle
+    θ a single 8-plane bucket matches with (1-θ/π)^8 ≈ 0.02 at θ≈70°, while
+    16 bands of 4 planes give 1-(1-p⁴)^16 ≈ 0.9 — same candidate-volume
+    scale shape (equi-join on (band, bucket), O(n·bands) rows), recall that
+    actually clears the pinned floor (tests/test_dedup_ops.py).
 
     Scoring mirrors ``cosine_topk``: codegen'd ``dot_unrolled_sql`` (one expr
-    parse) + one norm per row computed before the join (same IEEE sequence as
-    ``cosine`` — oracle hash unchanged)."""
+    parse) + one norm per row computed before the join."""
     from pyspark.sql.window import Window
 
     emb = _valid_vecs(emb, vec, dim)
-    buckets = srp_buckets(emb, dim=dim, n_planes=n_planes, key=key, vec=vec)
+    bb = srp_band_buckets(
+        emb, dim=dim, bands=bands, planes_per_band=planes_per_band, key=key, vec=vec
+    )
     v = F.col(vec).cast("array<double>")
     norm = f"SQRT({dot_unrolled_sql('v', 'v', dim)})"
-    base = (
-        emb.select(F.col(key).alias("nid"), v.alias("v"))
-        .withColumn("vn", F.expr(norm))
-        .join(buckets.select(F.col("vec_id").alias("nid"), "bucket"), "nid")
-    )
+    base = emb.select(F.col(key).alias("nid"), v.alias("v")).withColumn("vn", F.expr(norm))
     q = (
         emb.filter(F.col(key).isin(query_ids))
-        .select(F.col(key).alias("qid"), v.alias("v"))
-        .withColumn("qn", F.expr(norm))
-        .withColumnsRenamed({"v": "qv"})
-        .join(buckets.select(F.col("vec_id").alias("qid"), F.col("bucket").alias("qbucket")), "qid")
+        .select(F.col(key).alias("qid"), v.alias("qv"))
+        .withColumn("qn", F.expr(f"SQRT({dot_unrolled_sql('qv', 'qv', dim)})"))
+    )
+    qb = bb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), "band", "bucket"
+    )
+    cand = (
+        bb.select(F.col("vec_id").alias("nid"), "band", "bucket")
+        .join(F.broadcast(qb), ["band", "bucket"])
+        .filter(F.col("nid") != F.col("qid"))
+        .select("nid", "qid")
+        .distinct()
     )
     sim = F.expr(f"{dot_unrolled_sql('qv', 'v', dim)} / (qn * vn)")
     scored = (
-        base.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("nid") != F.col("qid")))
-        .withColumn("sim_e4", fixed_point(sim))
+        cand.join(base, "nid").join(F.broadcast(q), "qid").withColumn("sim_e4", fixed_point(sim))
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim_e4").desc(), F.col("nid").asc())
     return (

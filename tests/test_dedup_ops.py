@@ -127,3 +127,32 @@ def test_similarity_ops_survive_null_and_ragged_vectors(spark):
     # 22 valid 8-dim vectors (ids 0..19 plus none of the bad ones) -> the
     # per-cell member counts must total 20
     assert sum({r["cell"]: r["n"] for r in stats}.values()) == 20
+
+
+def test_ann_recall_floors(spark):
+    """Recall contract (VERDICT r4): the approximate ANN paths are oracled
+    against their own candidate specs, which certifies the mechanism but not
+    the quality — this pins recall@10 vs the exact cosine_topk answer on the
+    sf0.01 embeddings, so a future quantizer/banding change can't silently
+    trade recall for speed. Floors are intentionally below observed values
+    (observed at round 4: banded LSH 0.88, IVF n_probe=4 0.92) but high
+    enough that a broken candidate stage (recall ≈ k/n) fails loudly. This
+    gate is what exposed the original single-bucket ann_topk_lsh at 0.00
+    recall@10 and forced the banded redesign."""
+    from ocr_machine_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+
+    def pairs(df):
+        return {(r["qid"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = pairs(S.cosine_topk(emb, qids, k=10, dim=64))
+    assert len(exact) == 50
+    lsh = pairs(S.ann_topk_lsh(emb, qids, k=10, dim=64))
+    ivf = pairs(S.ann_topk_ivf(emb, qids, k=10, n_cells=16, n_probe=4))
+    lsh_recall = len(lsh & exact) / len(exact)
+    ivf_recall = len(ivf & exact) / len(exact)
+    print(f"recall@10 — lsh: {lsh_recall:.3f}, ivf: {ivf_recall:.3f}")
+    assert lsh_recall >= 0.5, f"LSH recall collapsed: {lsh_recall}"
+    assert ivf_recall >= 0.7, f"IVF recall collapsed: {ivf_recall}"
