@@ -38,7 +38,9 @@ HOST_STATE_SCHEMA = "n_pages long, bytes_html long"
 HOST_OUT_SCHEMA = "host string, n_pages long, bytes_html long"
 
 
-def host_crawl_totals_stream(spark: SparkSession, input_path: str) -> DataFrame:
+def host_crawl_totals_stream(
+    spark: SparkSession, input_path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``):
     running per-host crawl totals across triggers — the continuous-ingest
     bookkeeping a 10^12-page crawl needs (which hosts are hot, how many bytes
@@ -49,7 +51,10 @@ def host_crawl_totals_stream(spark: SparkSession, input_path: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_path)
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
     hosts = stream.select(
         # no trailing-slash requirement: path-less urls ("https://a.com")
         # are common in real WARC data and must keep their host, not lump

@@ -185,3 +185,82 @@ def test_frame_sampling_plan(spark):
     bad = frames.join(media.select("media_id", F.col("meta.n_frames").alias("nf")), "media_id") \
         .filter(F.col("frame_idx") >= F.col("nf")).count()
     assert bad == 0
+
+
+def test_streaming_kill_resume_exactly_once(spark, tmp_path):
+    """Streaming counterpart of test_lineage_resume_exactly_once: a stateful
+    streaming query is stopped mid-corpus ("kill"), then a NEW query restarts
+    from the same checkpoint directory and processes only the files that
+    arrived after the stop. Exactly-once evidence: every host the resumed run
+    emits carries the checkpoint-restored state forward to EXACTLY the batch
+    total over all files — a reprocessed file would overshoot, lost state
+    would undershoot."""
+    import glob
+    import shutil
+
+    stream_dir = str(tmp_path / "stream_in")
+    ckpt = str(tmp_path / "ckpt")
+    full_dir = str(tmp_path / "full")
+    generate_pages(spark, N, partitions=6).write.parquet(full_dir)
+    files = sorted(glob.glob(f"{full_dir}/part-*.parquet"))
+    assert len(files) == 6
+    import os
+
+    os.makedirs(stream_dir)
+    for f in files[:3]:  # phase 1: half the corpus is visible
+        shutil.copy(f, stream_dir)
+
+    def run(run_name):
+        # memory sink can't recover from a checkpoint; foreachBatch is the
+        # production-shaped fault-tolerant sink (epoch-tracked)
+        sink_dir = str(tmp_path / f"sink_{run_name}")
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(sink_dir)
+
+        out = host_crawl_totals_stream(spark, stream_dir, max_files_per_trigger=1)
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.read.parquet(sink_dir)
+            .groupBy("host")
+            .agg(F.max("n_pages").alias("n_pages"), F.max("bytes_html").alias("bytes_html"))
+        )
+
+    run1 = {r["host"]: (r["n_pages"], r["bytes_html"]) for r in run("resume_run1").collect()}
+    assert run1  # the killed run made progress
+    for f in files[3:]:  # the rest of the corpus lands after the "crash"
+        shutil.copy(f, stream_dir)
+    run2 = {r["host"]: (r["n_pages"], r["bytes_html"]) for r in run("resume_run2").collect()}
+    assert run2
+
+    batch = {
+        r["host"]: (r["n_pages"], r["bytes_html"])
+        for r in (
+            spark.read.parquet(stream_dir)
+            .select(
+                F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+                F.length("html").alias("nb"),
+            )
+            .groupBy("host")
+            .agg(F.count("*").alias("n_pages"), F.sum("nb").alias("bytes_html"))
+            .collect()
+        )
+    }
+    # resumed emissions: checkpoint state + new files == full batch, exactly
+    for host, totals in run2.items():
+        assert totals == batch[host], (host, totals, batch[host])
+    # hosts whose pages all arrived pre-kill are NOT re-emitted (no replay of
+    # already-committed files)...
+    for host in set(run1) - set(run2):
+        assert run1[host] == batch[host], host
+    # ...and every host is accounted for across the two runs
+    assert set(run1) | set(run2) == set(batch)
