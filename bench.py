@@ -46,6 +46,12 @@ HEADLINE = [
     # baseline ann_cosine_topk they approximate
     "ann_lsh_topk",
     "ann_ivf_topk",
+    # round 4: the depth queries (iterative k-means, trained-IVF search,
+    # winnowing fingerprints) — oracled since r3, now timed so their scale
+    # behavior is tracked like everything else
+    "ivf_train_centroids",
+    "ann_ivf_trained_topk",
+    "doc_winnow_fingerprints",
 ]
 
 

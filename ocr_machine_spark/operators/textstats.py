@@ -195,10 +195,19 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
     Pure JVM array expressions (transform/slice/array_min), hash =
     md5-prefix integer — both engines compute identical BIGINTs, so the
     DuckDB twin replays the algorithm directly. Per-row cost O(words·w);
-    no shuffle until the consumer aggregates."""
+    no shuffle until the consumer aggregates.
+
+    The shingle-hash array is materialized as its OWN projection before the
+    window transform: an expression referenced inside a higher-order-function
+    lambda is re-evaluated per lambda invocation (no common-subexpression
+    elimination across HOF boundaries), so inlining ``sh`` made the md5 of
+    every shingle recompute once PER WINDOW — O(words²·md5) per row,
+    measured 295 s for the sf0.1 corpus vs ~2 s materialized (round-4 bench
+    promotion caught it). A column reference is evaluated once per row."""
     # compose the engine-wide shingle builder (shares its sequence(1,0)-
     # descends guard) with the shared portable hash
-    sh = F.transform(word_shingles(norm_text("text"), k), _md5_int60)
+    sh_expr = F.transform(word_shingles(norm_text("text"), k), _md5_int60)
+    sh = F.col("__sh")
     n_sh = F.size(sh)
     fps = F.when(
         n_sh >= 1,
@@ -209,4 +218,7 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<long>"))
-    return docs.select("doc_id", F.explode(fps).alias("fp"))
+    return (
+        docs.select("doc_id", sh_expr.alias("__sh"))
+        .select("doc_id", F.explode(fps).alias("fp"))
+    )
