@@ -142,16 +142,24 @@ def repartition_salted(df: DataFrame, n_partitions: int, key: str = "url", salt_
     recomputed after a shuffle-fetch failure — routine at 100 TB — and routes
     rows to reducers that already fetched their output, silently dropping or
     duplicating rows (the SPARK-23207 round-robin-repartition failure class).
-    So the salt is content-derived: a hash over ALL columns varies across
-    duplicate-``key`` rows (different payload/timestamp ⇒ different salt)
-    while a pure function of the key alone would be a no-op (it induces the
-    key's own partition classes). Byte-identical duplicate rows share a salt
-    — placement skew only to the extent of true full-row duplicates, which a
+    So the salt is content-derived: a hash over every column (payload columns
+    truncated to a 256-byte prefix — hashing megabytes per row in the
+    shuffle-write path would be pure bandwidth waste; a prefix separates
+    different-content duplicates just as well) varies across duplicate-``key``
+    rows, while a pure function of the key alone would be a no-op (it induces
+    the key's own partition classes). Prefix-identical duplicate rows share a
+    salt — placement skew only to the extent of true duplicates, which a
     crawl dedupes upstream anyway. Keyed AGGREGATION stages must not use this
     (salting breaks co-location); they need the two-phase salted-partial-agg
     pattern instead. Analogue of the reference's fixed-size chunk split for
     API limits (``run_textract.py:8-31``), done logically."""
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    from pyspark.sql.types import BinaryType, StringType
+
+    parts = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        parts.append(c.substr(1, 256) if isinstance(f.dataType, (BinaryType, StringType)) else c)
+    salt = F.pmod(F.xxhash64(*parts), F.lit(salt_buckets))
     return df.repartition(n_partitions, F.xxhash64(F.col(key)), salt)
 
 
