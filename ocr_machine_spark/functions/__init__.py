@@ -28,17 +28,29 @@ def token_count(col: Column | str) -> Column:
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Word k-grams as an array<string> — pure expressions (transform/slice),
-    the shingle stage of MinHash/Jaccard dedup."""
+    """Word k-grams as an array<string> — pure JVM expressions, the shingle
+    stage of MinHash/Jaccard/winnowing dedup.
+
+    Built by zipping k−1 shifted copies of the token array (each ``slice``
+    sits OUTSIDE the lambda), not by slicing inside a window ``transform``:
+    an expression subtree referenced inside a higher-order-function lambda is
+    re-evaluated per invocation (no CSE across HOF boundaries — the round-4
+    winnowing lesson), so the old ``slice(split(...), i, k)``-in-lambda form
+    re-split the text once per window = O(words²) character work per row.
+    This form is O(k·words). ``zip_with`` pads the shorter side with NULL and
+    ``concat`` propagates it, so over-the-end windows become NULL and the
+    final ``slice`` drops them; output is element-identical to the old form
+    (pinned by tests)."""
     c = F.col(col) if isinstance(col, str) else col
     ws = F.split(c, " ")
-    # guard: sequence(1, 0) would generate a DESCENDING sequence in Spark
+    cur = ws
+    for j in range(1, k):
+        tail = F.slice(ws, j + 1, F.greatest(F.size(ws) - j, F.lit(0)))
+        cur = F.zip_with(cur, tail, lambda a, b: F.concat(a, F.lit(" "), b))
+    # guard: docs with fewer than k words have no shingles (slice len ≤ 0
+    # would throw; the empty array is the spec on both engines)
     return F.when(
-        F.size(ws) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - (k - 1)),
-            lambda i: F.array_join(F.slice(ws, i, k), " "),
-        ),
+        F.size(ws) >= k, F.slice(cur, 1, F.size(ws) - (k - 1))
     ).otherwise(F.array().cast("array<string>"))
 
 
