@@ -1005,6 +1005,29 @@ def _region_detection(spark, sf_dir):
     )
 
 
+def _extraction_charset_stats(spark, sf_dir):
+    """Corpus-level charset distribution from the sniff-then-decode path
+    (round 4): per-charset page count + extracted-char totals must match the
+    golden layout arithmetic — a wrong sniff moves a page between groups AND
+    perturbs its char count (mojibake), so both columns gate it."""
+    out = extract_pages(_fixture_pages(spark, N_E2E), partitions=8)
+    return out.groupBy("charset").agg(
+        F.count("*").alias("n_pages"), F.sum("chars_out").alias("chars_out")
+    )
+
+
+def _media_frame_decode(spark, sf_dir):
+    """Real Y4M frame extraction (round 4): decode_frames parses the video
+    payload bytes and each sampled frame's exact-integer luma mean is gated
+    against by-construction frame goldens."""
+    from ocr_machine_spark.operators.multimodal import decode_frames, generate_media
+
+    media = generate_media(spark, 300, partitions=8)
+    return decode_frames(media, every_n=24).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx"), "luma_mean_e4"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver hash-gates the FIRST 50
     entries (verified rounds 1-2: CORRECTNESS keys == registry[:50]). The
@@ -1089,6 +1112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": _doc_rolling_fingerprint,
         "doc_winnow_fingerprints": _doc_winnow_fingerprints,
         "doc_stratified_sample": _doc_stratified_sample,
+        # round 4 surface: the charset sniffer's corpus-level distribution
+        # and the real Y4M frame decode, both golden-oracled
+        "extraction_charset_stats": _extraction_charset_stats,
+        "media_frame_decode": _media_frame_decode,
     }
 
 
@@ -1556,6 +1583,7 @@ SELECT true AS parts_within_bounds, true AS supps_within_bounds
         # generate_series arithmetic — the Spark side must reproduce them
         # through the actual generate→decode/sample operators
         "media_features": _media_golden_sql(),
+        "media_frame_decode": _media_frame_golden_sql(),
         "media_resize_plan": """
 WITH m AS (
   SELECT i AS media_id, 64 + (i % 8) * 16 AS w, 64 + (i % 4) * 16 AS h
@@ -1609,6 +1637,15 @@ def _media_golden_sql() -> str:
 
     g = media_golden_parquet(300)
     return f"SELECT media_id, kind, n_bytes, pos, feat_e4 FROM '{g}'"
+
+
+def _media_frame_golden_sql() -> str:
+    """DuckDB twin of the real Y4M frame decode: by-construction per-frame
+    luma-mean goldens — see sources/media_golden.py."""
+    from ocr_machine_spark.sources.media_golden import media_frame_golden_parquet
+
+    g = media_frame_golden_parquet(300)
+    return f"SELECT media_id, frame_idx, luma_mean_e4 FROM '{g}'"
 
 
 def _simhash_golden_sql() -> str:
@@ -1852,6 +1889,11 @@ FROM (SELECT url, unnest(spans) AS s FROM '{g_e2e}')
 UNION ALL
 SELECT url, s.start, s."end", s.reason, 'removed'
 FROM (SELECT url, unnest(removed_spans) AS s FROM '{g_e2e}')
+""",
+        "extraction_charset_stats": f"""
+SELECT charset, count(*) AS n_pages,
+       CAST(sum(length(extracted_text)) AS BIGINT) AS chars_out
+FROM '{g_e2e}' GROUP BY 1
 """,
         "blocks_by_type": f"""
 SELECT b.block_type AS block_type, count(*) AS n, CAST(sum(b.n_words) AS BIGINT) AS n_words

@@ -48,10 +48,14 @@ HEADLINE = [
     "ann_ivf_topk",
     # round 4: the depth queries (iterative k-means, trained-IVF search,
     # winnowing fingerprints) — oracled since r3, now timed so their scale
-    # behavior is tracked like everything else
+    # behavior is tracked like everything else. Promoting winnowing
+    # immediately caught an O(words²) HOF re-evaluation (295s → 4.5s).
     "ivf_train_centroids",
     "ann_ivf_trained_topk",
     "doc_winnow_fingerprints",
+    # round 4 additions: real media decode + the distributed exact ntile
+    "media_features",
+    "ntile_price_bands",
 ]
 
 

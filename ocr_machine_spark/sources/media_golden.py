@@ -61,3 +61,39 @@ def media_golden_parquet(n: int, base_dir: str = "/tmp/ocr_machine_spark_goldens
     pq.write_table(tbl, tmp)
     os.replace(tmp, path)
     return path
+
+
+def media_frame_golden_parquet(
+    n: int, every_n: int = 24, base_dir: str = "/tmp/ocr_machine_spark_goldens"
+) -> str:
+    """By-construction goldens for the real Y4M frame decode: every
+    ``every_n``-th frame's exact-integer luma mean (e4) per video asset,
+    computed from the generator's arrays — never through the codec."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(base_dir, f"media_frame_goldens_v1_n{n}_e{every_n}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(base_dir, exist_ok=True)
+
+    ids, idxs, means = [], [], []
+    for i in range(n):
+        if RM.kind_of(i) != "video":
+            continue
+        frames = RM.video_frames(i)
+        nf, h, w = frames.shape
+        for fi in range(0, nf, every_n):
+            ids.append(i)
+            idxs.append(fi)
+            means.append(int(frames[fi].astype("int64").sum()) * 10000 // (h * w))
+    tbl = pa.Table.from_pydict(
+        {"media_id": ids, "frame_idx": idxs, "luma_mean_e4": means},
+        schema=pa.schema(
+            [("media_id", pa.int64()), ("frame_idx", pa.int64()), ("luma_mean_e4", pa.int64())]
+        ),
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
