@@ -85,12 +85,23 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
-    """WAV bytes → (sample_rate, int16 mono samples)."""
-    with wave.open(io.BytesIO(data), "rb") as wf:
-        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
-            raise ValueError("unsupported WAV profile (need PCM16 mono)")
-        rate = wf.getframerate()
-        raw = wf.readframes(wf.getnframes())
+    """WAV bytes → (sample_rate, int16 mono samples).
+
+    Failure contract: ANY malformed payload raises ValueError (the stdlib
+    wave/chunk modules raise wave.Error, EOFError, struct.error or even bare
+    RuntimeError depending on where a corrupt RIFF structure trips them —
+    all converted here so callers' per-row ValueError handler keeps the
+    ok=false-per-row totality promise instead of killing the job)."""
+    try:
+        with wave.open(io.BytesIO(data), "rb") as wf:
+            if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+                raise ValueError("unsupported WAV profile (need PCM16 mono)")
+            rate = wf.getframerate()
+            raw = wf.readframes(wf.getnframes())
+    except ValueError:
+        raise
+    except Exception as exc:  # noqa: BLE001 — stdlib wave's error surface is wide
+        raise ValueError(f"malformed WAV payload: {type(exc).__name__}: {exc}") from exc
     return rate, np.frombuffer(raw, dtype="<i2")
 
 

@@ -32,6 +32,18 @@ def _valid_vecs(emb: DataFrame, vec: str, dim: int) -> DataFrame:
     return emb.filter(F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim))
 
 
+def _modal_len(rows: list[tuple[int, list[float]]]) -> int:
+    """Most common vector length among collected seed rows (ties → smaller
+    dim, deterministic). A single ragged seed row must not define the
+    quantizer dimension and thereby filter out the whole valid corpus."""
+    from collections import Counter
+
+    if not rows:
+        return 0
+    lens = Counter(len(v) for _, v in rows)
+    return max(lens.items(), key=lambda t: (t[1], -t[0]))[0]
+
+
 def _dim_of(emb: DataFrame, vec: str) -> int:
     """Embedding width from the first NON-NULL vector (1 on empty/all-null
     input — any dim yields the correct empty result with the right schema).
@@ -276,12 +288,21 @@ def ann_topk_ivf(
     IVF trade — mitigate with more cells or per-cell salting at re-rank."""
     from pyspark.sql.window import Window
 
-    cents = centroids if centroids is not None else sorted(
-        (r[0], list(r[1]))
-        for r in emb.filter(F.col(key) < n_cells)
-        .select(F.col(key), F.col(vec).cast("array<double>"))
-        .collect()
-    )
+    if centroids is not None:
+        cents = centroids
+    else:
+        # NULL vectors must not reach the seed collect (list(None) raises on
+        # the driver) and a ragged seed must not poison the quantizer dim —
+        # the same per-row-degradation contract _valid_vecs enforces below
+        rows = sorted(
+            (r[0], list(r[1]))
+            for r in emb.filter(F.col(key) < n_cells)
+            .filter(F.col(vec).isNotNull())
+            .select(F.col(key), F.col(vec).cast("array<double>"))
+            .collect()
+        )
+        seed_dim = dim or _modal_len(rows)
+        cents = [(cid, v) for cid, v in rows if len(v) == seed_dim]
     if not cents:
         return emb.sparkSession.createDataFrame(
             [], "qid long, neighbor_id long, sim_e4 long, rk long"
@@ -398,11 +419,19 @@ def ivf_train(
     """
     if iters < 1:
         raise ValueError("ivf_train needs iters >= 1 (the output IS an iteration's statistics)")
-    head = emb.filter(F.col(key) < k).select(F.col(key), F.col(vec).cast("array<double>"))
-    cents = sorted((r[0], list(r[1])) for r in head.collect())
+    # NULL/ragged seed guard: see ann_topk_ivf — a corrupt row with id < k
+    # must be excluded, not crash the driver or poison the centroid dim
+    head = (
+        emb.filter(F.col(key) < k)
+        .filter(F.col(vec).isNotNull())
+        .select(F.col(key), F.col(vec).cast("array<double>"))
+    )
+    rows = sorted((r[0], list(r[1])) for r in head.collect())
+    seed_dim = _modal_len(rows)
+    cents = [(cid, v) for cid, v in rows if len(v) == seed_dim]
     if not cents:
         return emb.sparkSession.createDataFrame([], "cell long, pos long, sum_e6 long, n long")
-    emb = _valid_vecs(emb, vec, len(cents[0][1]))
+    emb = _valid_vecs(emb, vec, seed_dim)
 
     stats_df = None
     for _ in range(iters):
@@ -504,7 +533,7 @@ def ann_topk_lsh(
     emb = _valid_vecs(emb, vec, dim)
     bb = srp_band_buckets(
         emb, dim=dim, bands=bands, planes_per_band=planes_per_band, key=key, vec=vec
-    )
+    ).cache()  # tiny (n·bands rows); BOTH qb and the candidate join consume it
     v = F.col(vec).cast("array<double>")
     norm = f"SQRT({dot_unrolled_sql('v', 'v', dim)})"
     base = emb.select(F.col(key).alias("nid"), v.alias("v")).withColumn("vn", F.expr(norm))
@@ -522,7 +551,12 @@ def ann_topk_lsh(
         .filter(F.col("nid") != F.col("qid"))
         .select("nid", "qid")
         .distinct()
+        # materialize candidates NOW so the bucket cache can be released
+        # (same pattern as embedding_dup_pairs) — without the cache the
+        # full-corpus projection stage would execute twice per query
+        .localCheckpoint(eager=True)
     )
+    bb.unpersist()
     sim = F.expr(f"{dot_unrolled_sql('qv', 'v', dim)} / (qn * vn)")
     scored = (
         cand.join(base, "nid").join(F.broadcast(q), "qid").withColumn("sim_e4", fixed_point(sim))

@@ -120,6 +120,18 @@ def test_similarity_ops_survive_null_and_ragged_vectors(spark):
     ivf = ann_topk_ivf(emb, [0], k=3, n_cells=4, n_probe=4).collect()
     assert not ({r["neighbor_id"] for r in ivf} & bad)
 
+    # corrupt rows INSIDE the centroid-seed id range (id < n_cells/k) must be
+    # excluded from the seed, not crash the driver or poison the quantizer dim
+    poisoned = spark.createDataFrame(
+        [(0, None), (1, [1.0, 2.0])]
+        + [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(2, 12)],
+        "vec_id long, embedding array<double>",
+    )
+    ivf2 = ann_topk_ivf(poisoned, [5], k=3, n_cells=4, n_probe=4).collect()
+    assert ivf2 and not ({r["neighbor_id"] for r in ivf2} & {0, 1})
+    stats2 = ivf_train(poisoned, k=4, iters=1).collect()
+    assert sum({r["cell"]: r["n"] for r in stats2}.values()) == 10
+
     pairs = embedding_dup_pairs(emb, threshold=-1.0).collect()
     assert not ({r["a"] for r in pairs} | {r["b"] for r in pairs}) & bad
 

@@ -106,11 +106,19 @@ def test_media_decode_real_content_deterministic(spark):
 def test_media_decode_unknown_container(spark):
     """Compressed/unknown containers: ok=false per row non-strict (totality),
     NotImplementedError under strict — the remaining honest stub boundary."""
-    rows = [(0, "image", b"\x89PNG\r\n\x1a\nfakedata"), (1, "image", None)]
+    rows = [
+        (0, "image", b"\x89PNG\r\n\x1a\nfakedata"),
+        (1, "image", None),
+        # RIFF magic but corrupt WAVE structure: the stdlib wave module
+        # raises wave.Error/EOFError here, which decode_wav converts to
+        # ValueError so the per-row handler catches it (review fix r4)
+        (2, "audio", b"RIFF\x10\x00\x00\x00WAVEjunkdata"),
+    ]
     media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
     out = {r["media_id"]: r for r in decode_media(media).collect()}
     assert not out[0]["ok"] and out[0]["features"] is None
     assert not out[1]["ok"]
+    assert not out[2]["ok"]
     with pytest.raises(Exception, match="NotImplementedError|compressed-codec"):
         decode_media(media, strict=True).collect()
 
