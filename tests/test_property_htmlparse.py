@@ -119,3 +119,37 @@ def test_arbitrary_bytes_survive(payload):
     r = extract_one(payload)
     # never raises; either parses (possibly empty) or reports the error
     assert r.ok or r.error
+
+
+# charset-era totality: arbitrary BYTES (BOM prefixes, truncated multi-byte
+# sequences, lying declarations) must never raise and must stay pure
+_BYTE_PREFIXES = [
+    b"", b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff", b"\xff\xfe\x00\x00",
+    b'<meta charset="shift_jis">', b'<meta charset="utf-16le">',
+    b'<meta charset="no-such-label">',
+    b'<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">',
+    b'<?xml version="1.0" encoding="euc-jp"?>',
+]
+
+
+@given(
+    prefix=st.sampled_from(_BYTE_PREFIXES),
+    body=st.binary(min_size=0, max_size=400),
+)
+@settings(max_examples=300, deadline=None)
+def test_extract_one_total_on_arbitrary_bytes(prefix, body):
+    from ocr_machine_spark.core.extract import sniff_charset
+
+    data = prefix + body
+    cs = sniff_charset(data)
+    assert isinstance(cs, str)
+    import codecs
+
+    codecs.lookup(cs)  # always a decodable codec name
+    r1 = extract_one(data)
+    r2 = extract_one(data)
+    # never raises (totality) and is a pure function of the bytes
+    assert r1.ok == r2.ok and r1.extracted_text == r2.extracted_text
+    assert r1.charset == r2.charset
+    if r1.ok:
+        assert r1.charset == cs
