@@ -1028,6 +1028,31 @@ def _media_frame_decode(spark, sf_dir):
     )
 
 
+def _doc_pii_scrub(spark, sf_dir):
+    """PII scrub (emails/phones) — the standard pre-training redaction pass,
+    thematically the text twin of the reference's white-out removal. The
+    corpus carries no natural PII, so deterministic PII is injected in the
+    query itself (identically on both engines): every doc then exercises the
+    real match+count+replace machinery, and the redacted-text md5 gates the
+    exact replacement output byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call +1 (555) 0100 now"),
+        ).alias("text"),
+    )
+    return T.pii_scrub(docs)
+
+
+def _doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate-
+    word fraction + top-bigram share — published webtext-curation rules."""
+    return T.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver hash-gates the FIRST 50
     entries (verified rounds 1-2: CORRECTNESS keys == registry[:50]). The
@@ -1116,6 +1141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the real Y4M frame decode, both golden-oracled
         "extraction_charset_stats": _extraction_charset_stats,
         "media_frame_decode": _media_frame_decode,
+        # round 4: published webtext-curation passes (PII scrub, Gopher
+        # repetition rules)
+        "doc_pii_scrub": _doc_pii_scrub,
+        "doc_repetition_stats": _doc_repetition_stats,
     }
 
 
@@ -1584,6 +1613,29 @@ SELECT true AS parts_within_bounds, true AS supps_within_bounds
         # through the actual generate→decode/sample operators
         "media_features": _media_golden_sql(),
         "media_frame_decode": _media_frame_golden_sql(),
+        "doc_pii_scrub": _pii_scrub_sql(),
+        "doc_repetition_stats": f"""
+WITH t AS (SELECT doc_id, {_norm('text')} AS tx FROM documents),
+w AS (SELECT doc_id, string_split(tx, ' ') AS ws FROM t),
+base AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+  FROM w
+),
+bgs AS (
+  SELECT doc_id, ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1] AS bg
+  FROM w, unnest(range(1, len(ws))) AS u(i)
+),
+cnt AS (
+  SELECT doc_id, max(c) AS top_bigram_n, CAST(sum(c) AS BIGINT) AS n_bigrams
+  FROM (SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY 1, 2) GROUP BY doc_id
+)
+SELECT base.doc_id, n_words,
+  {_sql_fix("CASE WHEN n_words > 0 THEN 1.0 - n_distinct / n_words ELSE 0.0 END")} AS dup_word_frac_e4,
+  CAST(coalesce(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+  {_sql_fix("CASE WHEN n_bigrams > 0 THEN top_bigram_n / n_bigrams ELSE 0.0 END")} AS top_bigram_share_e4
+FROM base LEFT JOIN cnt USING (doc_id)
+""",
         "media_resize_plan": """
 WITH m AS (
   SELECT i AS media_id, 64 + (i % 8) * 16 AS w, 64 + (i % 4) * 16 AS h
@@ -1637,6 +1689,33 @@ def _media_golden_sql() -> str:
 
     g = media_golden_parquet(300)
     return f"SELECT media_id, kind, n_bytes, pos, feat_e4 FROM '{g}'"
+
+
+def _pii_scrub_sql() -> str:
+    """DuckDB twin of doc_pii_scrub: same injected PII, same RE2∩Java
+    patterns (imported from the operator — one source of truth), global
+    replace ('g' — Spark's regexp_replace is global by default)."""
+    from ocr_machine_spark.operators.textstats import EMAIL_RE, PHONE_RE
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact: user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or call +1 (555) 0100 now' AS text
+  FROM documents
+), r AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PHONE_RE}', '<PHONE>', 'g') AS red
+  FROM d
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+  CAST(length(text) - length(red) AS BIGINT) AS chars_delta,
+  md5(red) AS redacted_fp
+FROM r
+"""
 
 
 def _media_frame_golden_sql() -> str:

@@ -222,3 +222,69 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
         docs.select("doc_id", sh_expr.alias("__sh"))
         .select("doc_id", F.explode(fps).alias("fp"))
     )
+
+
+# PII patterns — shared RE2/Java-regex-safe subset (no backrefs, no lookarounds)
+# so Spark and DuckDB compile the IDENTICAL automaton. The redaction is the
+# text twin of the reference's white-out removal (white_out_manager.py:27-34):
+# find spans, excise, keep counts for audit.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+[0-9][0-9()\\- ]{7,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Deterministic PII redaction over a text column: count and replace
+    email/phone matches (the standard pre-training scrub pass). Pure JVM
+    regexp expressions — one scan, no shuffle, pushable upstream of any
+    keyed stage. Patterns restricted to the RE2∩Java subset so the DuckDB
+    twin matches byte-for-byte."""
+    t = F.col(text)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
+        (F.length(t) - F.length(redacted)).cast("long").alias("chars_delta"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+def repetition_stats(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1, the
+    published webtext-curation rules): duplicate-word fraction and the share
+    of all word bigrams taken by the single most frequent bigram — high
+    values flag boilerplate/spam for removal before training.
+
+    Shape: the bigram mode is computed relationally (explode → count →
+    per-doc max), NOT as an in-row O(words²) expression — two partial-agg
+    shuffles on (doc_id[, bigram]), scale-safe at any document length."""
+    ws = F.split(norm_text(text), " ")
+    base = docs.select(
+        F.col("doc_id"),
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+        word_shingles(norm_text(text), 2).alias("bgs"),
+    )
+    counts = (
+        base.select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+    )
+    out = base.drop("bgs").join(counts, "doc_id", "left")
+    dup_frac = F.when(
+        F.col("n_words") > 0, 1.0 - F.col("n_distinct") / F.col("n_words")
+    ).otherwise(F.lit(0.0))
+    top_share = F.when(
+        F.col("n_bigrams") > 0, F.col("top_bigram_n") / F.col("n_bigrams")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        "n_words",
+        fixed_point(dup_frac).alias("dup_word_frac_e4"),
+        F.coalesce(F.col("top_bigram_n"), F.lit(0)).alias("top_bigram_n"),
+        fixed_point(top_share).alias("top_bigram_share_e4"),
+    )
