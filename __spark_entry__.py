@@ -1053,6 +1053,27 @@ def _doc_repetition_stats(spark, sf_dir):
     return T.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def _url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + variant rollup: each fixture url is exploded
+    into five crawl-realistic variants (tracking params, fragment, trailing
+    slash + tracking, one REAL param that must survive); four must collapse
+    onto the canonical base (n_variants=4) and the real-param variant stays
+    its own key — any spec divergence between engines moves urls between
+    groups and breaks the hash."""
+    from ocr_machine_spark.operators.urls import canonical_url_groups
+
+    pages = _fixture_pages(spark, N_E2E).select("url")
+    variants = F.array(
+        F.col("url"),
+        F.concat(F.col("url"), F.lit("?utm_source=feed&utm_campaign=x")),
+        F.concat(F.col("url"), F.lit("#section-2")),
+        F.concat(F.col("url"), F.lit("/?utm_medium=a")),
+        F.concat(F.col("url"), F.lit("?id=7&utm_source=x")),
+    )
+    ex = pages.select(F.explode(variants).alias("u"))
+    return canonical_url_groups(ex, "u")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver hash-gates the FIRST 50
     entries (verified rounds 1-2: CORRECTNESS keys == registry[:50]). The
@@ -1142,9 +1163,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_charset_stats": _extraction_charset_stats,
         "media_frame_decode": _media_frame_decode,
         # round 4: published webtext-curation passes (PII scrub, Gopher
-        # repetition rules)
+        # repetition rules, URL canonicalization)
         "doc_pii_scrub": _doc_pii_scrub,
         "doc_repetition_stats": _doc_repetition_stats,
+        "url_canonical_dedup": _url_canonical_dedup,
     }
 
 
@@ -1968,6 +1990,44 @@ FROM (SELECT url, unnest(spans) AS s FROM '{g_e2e}')
 UNION ALL
 SELECT url, s.start, s."end", s.reason, 'removed'
 FROM (SELECT url, unnest(removed_spans) AS s FROM '{g_e2e}')
+""",
+        "url_canonical_dedup": f"""
+WITH v AS (
+  SELECT unnest([
+    url,
+    url || '?utm_source=feed&utm_campaign=x',
+    url || '#section-2',
+    url || '/?utm_medium=a',
+    url || '?id=7&utm_source=x'
+  ]) AS u
+  FROM '{g_e2e}'
+), c0 AS (
+  SELECT u, regexp_replace(u, '#.*', '') AS frag FROM v
+), c1 AS (
+  SELECT u, frag,
+         regexp_extract(frag, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1) AS sh
+  FROM c0
+), c2 AS (
+  SELECT u, sh,
+         regexp_replace(substring(frag, length(sh) + 1), '\\?.*', '') AS path,
+         CASE WHEN contains(substring(frag, length(sh) + 1), '?')
+              THEN regexp_replace(substring(frag, length(sh) + 1), '^[^?]*\\?', '')
+              ELSE '' END AS q
+  FROM c1
+), c3 AS (
+  SELECT u, sh, path,
+         -- DuckDB's array_to_string returns NULL (not '') for an empty list
+         coalesce(array_to_string(list_filter(string_split(q, '&'),
+           p -> NOT (p = '' OR starts_with(p, 'utm_')
+                     OR starts_with(p, 'fbclid=') OR starts_with(p, 'gclid='))), '&'), '') AS q2
+  FROM c2
+), c4 AS (
+  SELECT CASE WHEN q2 = ''
+              THEN regexp_replace(lower(sh) || path, '/$', '')
+              ELSE lower(sh) || path || '?' || q2 END AS canonical_url
+  FROM c3
+)
+SELECT canonical_url, count(*) AS n_variants FROM c4 GROUP BY 1
 """,
         "extraction_charset_stats": f"""
 SELECT charset, count(*) AS n_pages,

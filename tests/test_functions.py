@@ -153,3 +153,26 @@ def test_ntile_global_matches_sql_ntile(spark):
     assert bands == {1: 1, 2: 2}
     # empty input
     assert ntile_global(tiny.filter("v > 99"), 4, ["v", "id"]).count() == 0
+
+
+def test_canonical_url_spec(spark):
+    """URL canonicalization spec cases: scheme/host case-folding (path case
+    preserved), fragment cut, tracking-param removal with order-preserving
+    survivors, trailing-slash rule."""
+    import pyspark.sql.functions as F
+
+    from ocr_machine_spark.operators.urls import canonical_url
+
+    cases = [
+        ("HTTPS://Example.COM/Path/Page", "https://example.com/Path/Page"),
+        ("https://a.com/x?utm_source=1&id=2&gclid=z&b=3", "https://a.com/x?id=2&b=3"),
+        ("https://a.com/x#frag?utm_source=1", "https://a.com/x"),
+        ("https://a.com/", "https://a.com"),
+        ("https://a.com/x/?fbclid=abc", "https://a.com/x"),
+        ("https://a.com/x?utm_source=1&utm_medium=2", "https://a.com/x"),
+        ("http://a.com:8080/x?a=1", "http://a.com:8080/x?a=1"),
+        ("not a url at all", "not a url at all"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r[0] for r in df.select(canonical_url(F.col("u"))).collect()]
+    assert got == [want for _, want in cases]
