@@ -1028,6 +1028,19 @@ def _media_frame_decode(spark, sf_dir):
     )
 
 
+# injected-fixture literals shared by the Spark queries AND their DuckDB
+# twins (one source of truth — editing one side can't silently desync the
+# gate into a phantom engine bug)
+PII_SUFFIX_PRE = " contact: user"
+PII_SUFFIX_POST = "@example.com or call +1 (555) 0100 now"
+URL_VARIANT_SUFFIXES = [
+    "?utm_source=feed&utm_campaign=x",
+    "#section-2",
+    "/?utm_medium=a",
+    "?id=7&utm_source=x",
+]
+
+
 def _doc_pii_scrub(spark, sf_dir):
     """PII scrub (emails/phones) — the standard pre-training redaction pass,
     thematically the text twin of the reference's white-out removal. The
@@ -1039,9 +1052,9 @@ def _doc_pii_scrub(spark, sf_dir):
         "doc_id",
         F.concat(
             F.coalesce(F.col("text"), F.lit("")),
-            F.lit(" contact: user"),
+            F.lit(PII_SUFFIX_PRE),
             F.col("doc_id").cast("string"),
-            F.lit("@example.com or call +1 (555) 0100 now"),
+            F.lit(PII_SUFFIX_POST),
         ).alias("text"),
     )
     return T.pii_scrub(docs)
@@ -1065,10 +1078,7 @@ def _url_canonical_dedup(spark, sf_dir):
     pages = _fixture_pages(spark, N_E2E).select("url")
     variants = F.array(
         F.col("url"),
-        F.concat(F.col("url"), F.lit("?utm_source=feed&utm_campaign=x")),
-        F.concat(F.col("url"), F.lit("#section-2")),
-        F.concat(F.col("url"), F.lit("/?utm_medium=a")),
-        F.concat(F.col("url"), F.lit("?id=7&utm_source=x")),
+        *[F.concat(F.col("url"), F.lit(sfx)) for sfx in URL_VARIANT_SUFFIXES],
     )
     ex = pages.select(F.explode(variants).alias("u"))
     return canonical_url_groups(ex, "u")
@@ -1638,10 +1648,12 @@ SELECT true AS parts_within_bounds, true AS supps_within_bounds
         "doc_pii_scrub": _pii_scrub_sql(),
         "doc_repetition_stats": f"""
 WITH t AS (SELECT doc_id, {_norm('text')} AS tx FROM documents),
-w AS (SELECT doc_id, string_split(tx, ' ') AS ws FROM t),
+w AS (SELECT doc_id, tx, string_split(tx, ' ') AS ws FROM t),
 base AS (
-  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-         CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+  -- empty-text guard: split('') is [''] — a phantom token (engine convention)
+  SELECT doc_id,
+         CAST(CASE WHEN tx = '' THEN 0 ELSE len(ws) END AS BIGINT) AS n_words,
+         CAST(CASE WHEN tx = '' THEN 0 ELSE len(list_distinct(ws)) END AS BIGINT) AS n_distinct
   FROM w
 ),
 bgs AS (
@@ -1995,21 +2007,20 @@ FROM (SELECT url, unnest(removed_spans) AS s FROM '{g_e2e}')
 WITH v AS (
   SELECT unnest([
     url,
-    url || '?utm_source=feed&utm_campaign=x',
-    url || '#section-2',
-    url || '/?utm_medium=a',
-    url || '?id=7&utm_source=x'
+    {', '.join(f"url || '{sfx}'" for sfx in URL_VARIANT_SUFFIXES)}
   ]) AS u
   FROM '{g_e2e}'
 ), c0 AS (
-  SELECT u, regexp_replace(u, '#.*', '') AS frag FROM v
+  -- [\\s\\S] + 'g': Spark's regexp_replace is global and Java/RE2 '.'
+  -- exclude different line terminators — both sides must cut identically
+  SELECT u, regexp_replace(u, '#[\\s\\S]*', '', 'g') AS frag FROM v
 ), c1 AS (
   SELECT u, frag,
          regexp_extract(frag, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1) AS sh
   FROM c0
 ), c2 AS (
   SELECT u, sh,
-         regexp_replace(substring(frag, length(sh) + 1), '\\?.*', '') AS path,
+         regexp_replace(substring(frag, length(sh) + 1), '\\?[\\s\\S]*', '', 'g') AS path,
          CASE WHEN contains(substring(frag, length(sh) + 1), '?')
               THEN regexp_replace(substring(frag, length(sh) + 1), '^[^?]*\\?', '')
               ELSE '' END AS q
@@ -2023,7 +2034,7 @@ WITH v AS (
   FROM c2
 ), c4 AS (
   SELECT CASE WHEN q2 = ''
-              THEN regexp_replace(lower(sh) || path, '/$', '')
+              THEN regexp_replace(lower(sh) || path, '/\\z', '')
               ELSE lower(sh) || path || '?' || q2 END AS canonical_url
   FROM c3
 )

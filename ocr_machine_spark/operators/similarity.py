@@ -33,15 +33,16 @@ def _valid_vecs(emb: DataFrame, vec: str, dim: int) -> DataFrame:
 
 
 def _modal_len(rows: list[tuple[int, list[float]]]) -> int:
-    """Most common vector length among collected seed rows (ties → smaller
-    dim, deterministic). A single ragged seed row must not define the
+    """Most common vector length among collected seed rows (ties → LARGER
+    dim, deterministic: corruption truncates, so on an even split the longer
+    length is the intact one). A ragged seed row must not define the
     quantizer dimension and thereby filter out the whole valid corpus."""
     from collections import Counter
 
     if not rows:
         return 0
     lens = Counter(len(v) for _, v in rows)
-    return max(lens.items(), key=lambda t: (t[1], -t[0]))[0]
+    return max(lens.items(), key=lambda t: (t[1], t[0]))[0]
 
 
 def _dim_of(emb: DataFrame, vec: str) -> int:

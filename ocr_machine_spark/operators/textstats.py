@@ -260,12 +260,16 @@ def repetition_stats(docs: DataFrame, text: str = "text") -> DataFrame:
     Shape: the bigram mode is computed relationally (explode → count →
     per-doc max), NOT as an in-row O(words²) expression — two partial-agg
     shuffles on (doc_id[, bigram]), scale-safe at any document length."""
-    ws = F.split(norm_text(text), " ")
+    tx = norm_text(text)
+    ws = F.split(tx, " ")
+    # empty-text guard (engine-wide phantom-token convention, see
+    # functions.token_count): split('') yields [''], so an empty doc would
+    # otherwise report n_words=1 and read as a one-word document downstream
     base = docs.select(
         F.col("doc_id"),
-        F.size(ws).cast("long").alias("n_words"),
-        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
-        word_shingles(norm_text(text), 2).alias("bgs"),
+        F.when(tx == "", F.lit(0)).otherwise(F.size(ws)).cast("long").alias("n_words"),
+        F.when(tx == "", F.lit(0)).otherwise(F.size(F.array_distinct(ws))).cast("long").alias("n_distinct"),
+        word_shingles(tx, 2).alias("bgs"),
     )
     counts = (
         base.select("doc_id", F.explode("bgs").alias("bg"))

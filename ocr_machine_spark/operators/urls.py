@@ -27,10 +27,13 @@ TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
 
 
 def canonical_url(url: Column) -> Column:
-    frag_cut = F.regexp_replace(url, "#.*", "")
+    # [\s\S] instead of '.': Java's '.' excludes \n\r   while
+    # RE2's excludes only \n — a (garbage) URL containing a line terminator
+    # would canonicalize differently per engine and break the hash gate
+    frag_cut = F.regexp_replace(url, r"#[\s\S]*", "")
     sh = F.regexp_extract(frag_cut, _SCHEME_HOST_RE, 1)
     rest = frag_cut.substr(F.length(sh) + 1, F.length(frag_cut))
-    path = F.regexp_replace(rest, r"\?.*", "")
+    path = F.regexp_replace(rest, r"\?[\s\S]*", "")
     q = F.when(rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")).otherwise(F.lit(""))
 
     def keep(p: Column) -> Column:
@@ -43,7 +46,9 @@ def canonical_url(url: Column) -> Column:
     canon = F.concat(
         F.lower(sh), path, F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit(""))
     )
-    return F.when(q2 == "", F.regexp_replace(canon, "/$", "")).otherwise(canon)
+    # \z (absolute end) not $: Java's $ also matches before a final line
+    # terminator where RE2's does not — \z means end-of-text in both
+    return F.when(q2 == "", F.regexp_replace(canon, r"/\z", "")).otherwise(canon)
 
 
 def canonical_url_groups(df: DataFrame, url_col: str = "url") -> DataFrame:

@@ -168,3 +168,19 @@ def test_ann_recall_floors(spark):
     print(f"recall@10 — lsh: {lsh_recall:.3f}, ivf: {ivf_recall:.3f}")
     assert lsh_recall >= 0.5, f"LSH recall collapsed: {lsh_recall}"
     assert ivf_recall >= 0.7, f"IVF recall collapsed: {ivf_recall}"
+
+
+def test_modal_seed_len_tie_prefers_longer(spark):
+    """Seed-dim tie-break: corruption truncates, so an even split between a
+    truncated and an intact seed length must pick the LONGER one (review fix
+    r4 — the smaller-dim tie-break let one corrupt row filter out the whole
+    valid corpus)."""
+    from ocr_machine_spark.operators.similarity import _modal_len, ivf_train
+
+    assert _modal_len([(0, [1.0, 2.0]), (1, [0.0] * 8)]) == 8
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0])] + [(i, [float(i + j) for j in range(8)]) for i in range(1, 8)],
+        "vec_id long, embedding array<double>",
+    )
+    stats = ivf_train(emb, k=2, iters=1).collect()  # seed ids {0 truncated, 1 intact}
+    assert sum({r["cell"]: r["n"] for r in stats}.values()) == 7  # all 8-dim rows

@@ -153,3 +153,17 @@ def test_inference_bad_rows_score_null(spark):
     assert out[1]["logit_e4"] is not None and out[1]["pred"] is not None
     assert out[2]["logit_e4"] is None and out[2]["pred"] is None
     assert out[3]["logit_e4"] is None and out[3]["pred"] is None
+
+
+def test_repetition_stats_empty_doc_zero_words(spark):
+    """Phantom-token convention: split('') is [''] — an empty/whitespace doc
+    must report n_words=0, not 1 (review fix r4)."""
+    from ocr_machine_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "a a b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["n_words"] == 0 and out[1]["dup_word_frac_e4"] == 0
+    assert out[2]["n_words"] == 0
+    assert out[4]["n_words"] == 3 and out[4]["dup_word_frac_e4"] == 3333
