@@ -1120,10 +1120,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": _embedding_dup_pairs,
         "model_inference_scores": _model_inference_scores,
         "dataset_split_assign": _dataset_split_assign,
-        "json_props_agg": _json_props_agg,
         "media_features": _media_features,
-        "media_resize_plan": _media_resize_plan,
-        "media_frame_plan": _media_frame_plan,
+        # round-5 rotation (VERDICT r4 #2): the five round-4 operators move
+        # INSIDE the driver's 50-query hash-gate window, displacing five
+        # redundant breadth entries (media_resize_plan / media_frame_plan are
+        # subsumed by the real media_frame_decode + the pytest exact-pixel
+        # resize gate; json_props_agg / approx_distinct_parts /
+        # case_category_orders duplicate capability other gated queries
+        # already certify — JSON functions ride corpus_curation_stats,
+        # approx_percentile_prices keeps the approx family, CASE routing is
+        # in q1/q3/quality). All displaced queries stay parity-gated by
+        # tests/test_oracle_parity.py below.
+        "extraction_charset_stats": _extraction_charset_stats,
+        "media_frame_decode": _media_frame_decode,
+        "doc_pii_scrub": _doc_pii_scrub,
+        "doc_repetition_stats": _doc_repetition_stats,
+        "url_canonical_dedup": _url_canonical_dedup,
         # -- core relational contract (TPC-H-shaped + ops surface) --
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -1143,10 +1155,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": _rollup_revenue,
         "cube_flag_status": _cube_flag_status,
         "set_ops_custkeys": _set_ops_custkeys,
-        "case_category_orders": _case_category_orders,
-        "approx_distinct_parts": _approx_distinct_parts,
         "approx_percentile_prices": _approx_percentile_prices,
         # ---- position 51+: surface breadth, locally gated only ----
+        "json_props_agg": _json_props_agg,
+        "media_resize_plan": _media_resize_plan,
+        "media_frame_plan": _media_frame_plan,
+        "case_category_orders": _case_category_orders,
+        "approx_distinct_parts": _approx_distinct_parts,
         "hourly_event_rollup": _hourly_event_rollup,
         "pivot_event_counts": _pivot_event_counts,
         "doc_length_percentiles": _doc_length_percentiles,
@@ -1168,15 +1183,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": _doc_rolling_fingerprint,
         "doc_winnow_fingerprints": _doc_winnow_fingerprints,
         "doc_stratified_sample": _doc_stratified_sample,
-        # round 4 surface: the charset sniffer's corpus-level distribution
-        # and the real Y4M frame decode, both golden-oracled
-        "extraction_charset_stats": _extraction_charset_stats,
-        "media_frame_decode": _media_frame_decode,
-        # round 4: published webtext-curation passes (PII scrub, Gopher
-        # repetition rules, URL canonicalization)
-        "doc_pii_scrub": _doc_pii_scrub,
-        "doc_repetition_stats": _doc_repetition_stats,
-        "url_canonical_dedup": _url_canonical_dedup,
     }
 
 

@@ -2,12 +2,24 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ..., "pages_per_sec": ...}
+   "queries": {...per-query sec...}, "sf": ..., "pages_per_sec": ...,
+   "steal": {...provenance...}}
 
 The headline metric mirrors BASELINE.json: pages/sec extraction throughput,
 measured over a deterministic synthetic pages table (the generator is part of
 the engine; pages are generated once, written to parquet, and timed reads go
 through the same scan path a lake table would).
+
+STEAL-GATING (round 5, VERDICT r4 #1): this is a shared host — noisy-neighbor
+bursts contaminated the round-4 artifact (trivial unchanged-plan queries read
+4× slower than round 3 while the same round's quiet-window scaling run hit
+best-ever throughput). The harness now applies the same /proc/stat steal
+accounting the scaling harness pioneered (BENCH/scaling.py:_steal_total):
+it WAITS for a quiet window before starting, measures the steal fraction
+around every rep, re-runs any steady rep whose window was contaminated (up to
+BENCH_MAX_TRIES), and publishes full provenance — per-query steal fractions,
+retry counts, and a clean/contaminated verdict — so a reader can tell
+measurement from noise without re-deriving it.
 """
 
 from __future__ import annotations
@@ -23,6 +35,13 @@ import time
 # python-worker/Arrow per-task setup; at 20k the job measured fixed overhead
 # (the 400k-page scaling harness is the steady-state reference)
 EXTRACT_PAGES = int(os.environ.get("BENCH_EXTRACT_PAGES", "60000"))
+
+# a rep is "clean" if steal on the host during it stayed under this fraction
+STEAL_GATE = float(os.environ.get("BENCH_STEAL_GATE", "0.01"))
+# max timed attempts per query before publishing the best contaminated rep
+MAX_TRIES = int(os.environ.get("BENCH_MAX_TRIES", "4"))
+# pre-flight: wait up to this long for a quiet window before the timed pass
+QUIET_WAIT_MAX = int(os.environ.get("BENCH_QUIET_WAIT_MAX", "600"))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -56,7 +75,55 @@ HEADLINE = [
     # round 4 additions: real media decode + the distributed exact ntile
     "media_features",
     "ntile_price_bands",
+    # round 5: the r4 text-curation operators, promoted to the bench (bench
+    # promotion is what catches per-row blowups — see winnowing above)
+    "doc_pii_scrub",
+    "doc_repetition_stats",
+    "url_canonical_dedup",
 ]
+
+
+def _steal_total() -> tuple[float, float]:
+    """(steal_jiffies, total_jiffies) over ALL cpus — the bench runs
+    local[N] unpinned on the whole box, so host-wide steal is the right
+    contamination signal (the pinned-core variant lives in BENCH/scaling.py)."""
+    steal = total = 0.0
+    for line in open("/proc/stat"):
+        parts = line.split()
+        if parts and parts[0].startswith("cpu") and parts[0] != "cpu":
+            vals = [float(x) for x in parts[1:]]
+            steal += vals[7] if len(vals) > 7 else 0.0
+            total += sum(vals)
+    return steal, total
+
+
+class _StealMeter:
+    def __enter__(self):
+        self.s0, self.t0 = _steal_total()
+        return self
+
+    def __exit__(self, *exc):
+        s1, t1 = _steal_total()
+        self.frac = round((s1 - self.s0) / max(t1 - self.t0, 1.0), 5)
+        return False
+
+
+def _wait_quiet() -> tuple[float, float]:
+    """Block until a 10-s window shows steal < STEAL_GATE, up to
+    QUIET_WAIT_MAX seconds; → (last observed frac, seconds waited)."""
+    t0 = time.monotonic()
+    frac = 1.0
+    while True:
+        with _StealMeter() as m:
+            time.sleep(10)
+        frac = m.frac
+        waited = time.monotonic() - t0
+        if frac < STEAL_GATE:
+            return frac, round(waited, 1)
+        if waited > QUIET_WAIT_MAX:
+            print(f"  WARNING: no quiet window in {QUIET_WAIT_MAX}s (steal {frac}); proceeding", file=sys.stderr)
+            return frac, round(waited, 1)
+        print(f"  waiting for quiet window (steal {frac})", file=sys.stderr)
 
 
 def main() -> None:
@@ -83,26 +150,52 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, "/root/testdata/sf0.001").count()
 
-    # each query runs twice at sf: the FIRST rep still pays any residual
-    # one-time cost the sf0.001 warmup didn't cover (plan-width-dependent
-    # codegen, shuffle-service spin-up) plus whatever host noise hit it; the
-    # SECOND rep is steady state — the quantity that scales to 100 TB, where
-    # compile happens once per executor lifetime. Both are published
-    # (queries = steady, queries_cold = first rep) so one-time compile can
-    # never masquerade as per-row cost, or vice versa.
+    preflight_frac, waited = _wait_quiet()
+
+    # per query: one cold rep (pays residual plan-width-dependent codegen /
+    # shuffle-service spin-up — published as queries_cold so one-time compile
+    # never masquerades as per-row cost), then steady reps retried until the
+    # steal meter says the window was clean (or MAX_TRIES, publishing the
+    # best rep flagged contaminated).
     times: dict[str, float] = {}
     times_cold: dict[str, float] = {}
+    prov: dict[str, dict] = {}
+    n_rows: dict[str, int] = {}
     for name in HEADLINE:
-        reps = []
-        for _ in range(2):
+        with _StealMeter() as m:
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             n = df.count()  # full materialization of the result
-            reps.append(round(time.perf_counter() - t0, 3))
-        times_cold[name], times[name] = reps[0], reps[1]
-        print(f"  {name}: {times[name]}s steady / {reps[0]}s first ({n} rows)", file=sys.stderr)
+            cold = round(time.perf_counter() - t0, 3)
+        cold_steal = m.frac
+        best, best_steal, tries, clean = None, None, 0, False
+        while tries < MAX_TRIES:
+            tries += 1
+            with _StealMeter() as m:
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).count()
+                sec = round(time.perf_counter() - t0, 3)
+            if best is None or sec < best:
+                best, best_steal = sec, m.frac
+            if m.frac < STEAL_GATE:
+                clean = True
+                break
+        times_cold[name], times[name] = cold, best
+        n_rows[name] = n
+        prov[name] = {
+            "cold_steal": cold_steal,
+            "steady_steal": best_steal,
+            "tries": tries,
+            "clean": clean,
+        }
+        flag = "" if clean else " [CONTAMINATED]"
+        print(
+            f"  {name}: {best}s steady / {cold}s first ({n} rows, steal {best_steal}, {tries} tries){flag}",
+            file=sys.stderr,
+        )
 
-    # extraction throughput: generate once (not timed), then timed extract
+    # extraction throughput: generate once (not timed), then timed extract,
+    # steal-gated like the queries
     from ocr_machine_spark.operators.extraction import extract_pages
     from ocr_machine_spark.sources.pages import generate_pages
 
@@ -111,22 +204,39 @@ def main() -> None:
         pages_path = os.path.join(tmp, "pages")
         generate_pages(spark, EXTRACT_PAGES, partitions=32).write.parquet(pages_path)
         pages = spark.read.parquet(pages_path)
-        t0 = time.perf_counter()
-        # scan-aligned (no pre-shuffle): parquet scan splits are byte-uniform,
-        # and per-row extraction has no key skew — the salted repartition is
-        # for the KEYED stages (reassembly/host aggs), not the map. Measured
-        # 2-3x faster than shuffling first at this scale.
-        out = extract_pages(pages)
-        stats = out.groupBy().agg(
-            {"bytes_html": "sum", "chars_out": "sum", "url": "count"}
-        ).collect()[0]
-        ext_sec = time.perf_counter() - t0
+        best = None
+        tries, clean = 0, False
+        while tries < MAX_TRIES:
+            tries += 1
+            with _StealMeter() as m:
+                t0 = time.perf_counter()
+                # scan-aligned (no pre-shuffle): parquet scan splits are
+                # byte-uniform, and per-row extraction has no key skew — the
+                # salted repartition is for the KEYED stages (reassembly/host
+                # aggs), not the map. Measured 2-3x faster than shuffling
+                # first at this scale.
+                out = extract_pages(pages)
+                stats = out.groupBy().agg(
+                    {"bytes_html": "sum", "chars_out": "sum", "url": "count"}
+                ).collect()[0]
+                sec = time.perf_counter() - t0
+            if best is None or sec < best[0]:
+                best = (sec, m.frac)
+            if m.frac < STEAL_GATE:
+                clean = True
+                break
+        ext_sec, ext_steal = best
         n_pages = stats["count(url)"]
         bytes_html = stats["sum(bytes_html)"]
         times["extract_pages"] = round(ext_sec, 3)
+        prov["extract_pages"] = {"steady_steal": ext_steal, "tries": tries, "clean": clean}
         pages_per_sec = round(n_pages / ext_sec, 1)
         mb_per_sec = round(bytes_html / ext_sec / 1e6, 2)
-        print(f"  extract_pages: {ext_sec:.1f}s ({n_pages} pages, {pages_per_sec} pages/s, {mb_per_sec} MB/s)", file=sys.stderr)
+        print(
+            f"  extract_pages: {ext_sec:.1f}s ({n_pages} pages, {pages_per_sec} pages/s, "
+            f"{mb_per_sec} MB/s, steal {ext_steal}, {tries} tries)",
+            file=sys.stderr,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -143,6 +253,13 @@ def main() -> None:
                 "pages_per_sec": pages_per_sec,
                 "html_mb_per_sec": mb_per_sec,
                 "extract_pages_n": n_pages,
+                "steal": {
+                    "gate": STEAL_GATE,
+                    "preflight_frac": preflight_frac,
+                    "preflight_waited_sec": waited,
+                    "all_clean": all(p["clean"] for p in prov.values()),
+                    "per_query": prov,
+                },
             }
         )
     )

@@ -151,15 +151,33 @@ def repartition_salted(df: DataFrame, n_partitions: int, key: str = "url", salt_
     salt — placement skew only to the extent of true duplicates, which a
     crawl dedupes upstream anyway. Keyed AGGREGATION stages must not use this
     (salting breaks co-location); they need the two-phase salted-partial-agg
-    pattern instead. Analogue of the reference's fixed-size chunk split for
-    API limits (``run_textract.py:8-31``), done logically."""
-    from pyspark.sql.types import BinaryType, StringType
+    pattern instead. Columns whose types ``xxhash64`` cannot hash (maps, and
+    anything containing one) are SKIPPED as salt inputs — they still ride the
+    shuffle, they just don't contribute entropy (ADVICE r4 #3; before this a
+    MapType column failed the whole repartition at analysis time). Analogue
+    of the reference's fixed-size chunk split for API limits
+    (``run_textract.py:8-31``), done logically."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StringType, StructType
+
+    def hashable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return hashable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(hashable(f.dataType) for f in dt.fields)
+        return True
 
     parts = []
     for f in df.schema.fields:
+        if not hashable(f.dataType):
+            continue
         c = F.col(f.name)
         parts.append(c.substr(1, 256) if isinstance(f.dataType, (BinaryType, StringType)) else c)
-    salt = F.pmod(F.xxhash64(*parts), F.lit(salt_buckets))
+    # all-unhashable schema: fall back to the key alone (placement = the
+    # key's own classes — degraded but valid, and such a schema has no
+    # row-distinguishing hashable content to salt with anyway)
+    salt = F.pmod(F.xxhash64(*parts), F.lit(salt_buckets)) if parts else F.lit(0)
     return df.repartition(n_partitions, F.xxhash64(F.col(key)), salt)
 
 

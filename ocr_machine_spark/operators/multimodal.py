@@ -6,14 +6,16 @@ The reference's raster stage (pdf2image renders, word-crop tensors,
 here to lake-native media handling: one row per asset, ``payload: binary``,
 typed ``meta`` struct, and every transform an Arrow-batched ``mapInPandas``.
 
-Round 4: the decode is REAL. The container ships no PIL/libav, but three
-public uncompressed formats need neither — BMP (24-bit BI_RGB), WAV (RIFF
-PCM16) and Y4M (YUV4MPEG2 4:2:0); ``core/rawmedia.py`` implements their
-byte-level codecs in pure stdlib+numpy, the generator emits real payloads in
-those formats, and ``decode_media``/``resize_images`` parse actual pixels and
-samples. The only remaining stub boundary is COMPRESSED codecs (JPEG/MP3/
-H.264): an unrecognized container yields ``ok=false`` per row (non-strict) or
-raises ``NotImplementedError`` (``strict=True``) at the clearly-marked spot.
+Round 4: the decode is REAL — BMP (24-bit BI_RGB), WAV (RIFF PCM16) and Y4M
+(YUV4MPEG2 4:2:0) byte-level codecs in pure stdlib+numpy
+(``core/rawmedia.py``). Round 5 adds the first COMPRESSED codec: PNG
+(stdlib zlib + the five scanline filters, grayscale/truecolor 8/16-bit), so
+the dominant lossless web image format decodes real pixels too. The
+remaining stub boundary is lossy/esoteric codecs (JPEG/MP3/H.264): an
+unrecognized container yields ``ok=false`` per row (non-strict) or raises
+``NotImplementedError`` (``strict=True``) at the clearly-marked spot, while
+a CORRUPT payload of a recognized container is reported as the data error it
+is (plain ValueError in strict mode), never as a missing dependency.
 """
 
 from __future__ import annotations
@@ -38,9 +40,10 @@ FRAMES_SCHEMA = "media_id long, frame_idx int, offset_ms int"
 
 
 def generate_media(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
-    """Deterministic media table with REAL payloads: BMP images, WAV audio,
-    Y4M video — content closed-form in ``media_id`` (``core/rawmedia.py``),
-    so any row regenerates identically on any executor."""
+    """Deterministic media table with REAL payloads: BMP/PNG images (PNG
+    cycling gray/truecolor × 8/16-bit), WAV audio, Y4M video — content
+    closed-form in ``media_id`` (``core/rawmedia.py``), so any row
+    regenerates identically on any executor."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -83,13 +86,22 @@ def decode_media(media: DataFrame, *, strict: bool = False) -> DataFrame:
                 try:
                     _, feats = RM.decode_features(bytes(payload))
                     rows.append((mid, kind, True, feats, len(payload)))
-                except ValueError as exc:
+                except RM.UnrecognizedContainerError as exc:
+                    # no supported container matched → a compressed codec
+                    # would be required; that dependency is not here
                     if strict:
                         raise NotImplementedError(
                             f"media {mid}: {exc} — compressed-codec decode requires "
                             "PIL/libav (not in this container); strict=False degrades "
                             "to ok=false per row"
                         ) from exc
+                    rows.append((mid, kind, False, None, len(payload)))
+                except ValueError as exc:
+                    # RECOGNIZED container, corrupt/degenerate payload — in
+                    # strict mode that is data corruption, not a missing
+                    # dependency (ADVICE r4 #2): raise it as itself
+                    if strict:
+                        raise ValueError(f"media {mid}: corrupt payload: {exc}") from exc
                     rows.append((mid, kind, False, None, len(payload)))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "ok", "features", "n_bytes"])
 
@@ -105,9 +117,10 @@ RESIZED_SCHEMA = (
 
 def resize_images(media: DataFrame, *, max_side: int = 64, strict: bool = False) -> DataFrame:
     """image rows → bounded-size variants: aspect-preserving clamp to
-    ``max_side`` with a REAL nearest-neighbor resample over decoded BMP
-    pixels (integer index maps — deterministic, no float filter kernels), re-
-    encoded as BMP. Non-BMP payloads pass through unresized (``ok``-style
+    ``max_side`` with a REAL nearest-neighbor resample over decoded BMP/PNG
+    pixels (integer index maps — deterministic, no float filter kernels),
+    re-encoded in the SAME container and (for PNG) native color type/bit
+    depth. Unrecognized image containers pass through unresized (``ok``-style
     degradation) or raise under ``strict=True``. Raster-stage analogue:
     ``training_strikethrough/processing_scripts/create_bbox_chunked.py:7-26``
     (word-crop resamples to fixed tensors)."""
@@ -129,8 +142,9 @@ def resize_images(media: DataFrame, *, max_side: int = 64, strict: bool = False)
                     rows.append((mid, payload, meta, False))
                     continue
                 try:
-                    arr = RM.decode_bmp(bytes(payload))
-                except ValueError as exc:
+                    raw = bytes(payload)
+                    arr, container = RM.decode_image(raw)
+                except RM.UnrecognizedContainerError as exc:
                     if strict:
                         raise NotImplementedError(
                             f"media {mid}: {exc} — compressed-image resample requires "
@@ -138,7 +152,12 @@ def resize_images(media: DataFrame, *, max_side: int = 64, strict: bool = False)
                         ) from exc
                     rows.append((mid, payload, meta, False))
                     continue
-                out = RM.encode_bmp(RM.resize_nearest(arr, nw, nh))
+                except ValueError as exc:
+                    if strict:
+                        raise ValueError(f"media {mid}: corrupt image payload: {exc}") from exc
+                    rows.append((mid, payload, meta, False))
+                    continue
+                out = RM.encode_image(RM.resize_nearest(arr, nw, nh), container)
                 new_meta = dict(meta)
                 new_meta["width"], new_meta["height"] = nw, nh
                 rows.append((mid, out, new_meta, True))

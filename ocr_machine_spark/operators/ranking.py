@@ -34,8 +34,27 @@ def global_index(
     df: DataFrame, order_cols: list[str], *, buckets: int = 64
 ) -> tuple[DataFrame, int]:
     """→ (df + ``__gidx`` exact global 1-based row index under the total
-    order ``order_cols``, total row count). No single-partition stage."""
+    order ``order_cols``, total row count). No single-partition stage.
+
+    Restriction (ADVICE r4 #4): the LEADING order column must be numeric and
+    the order is ascending NULLS FIRST — ``percentile_approx`` (the range-
+    bucket sketch of step 1) is numeric-only, and the bucket comparators
+    assume asc. Descending ranking: negate the column first; string/date
+    leading columns: rank on a numeric surrogate (epoch, dictionary code).
+    Violations raise ValueError here, with this explanation, instead of an
+    opaque AnalysisException inside the sketch."""
     lead = order_cols[0]
+    from pyspark.sql.types import NumericType
+
+    lead_field = next((f for f in df.schema.fields if f.name == lead), None)
+    if lead_field is not None and not isinstance(lead_field.dataType, NumericType):
+        raise ValueError(
+            f"global_index: leading order column {lead!r} is "
+            f"{lead_field.dataType.simpleString()}, but the quantile range-bucket "
+            "sketch (percentile_approx) requires a NUMERIC leading column — "
+            "rank on a numeric surrogate (epoch seconds, dictionary code) or "
+            "negate for descending order"
+        )
     qs = [i / buckets for i in range(1, buckets)]
     cuts = (
         df.select(F.percentile_approx(lead, F.lit(qs), F.lit(10000)).alias("c"))

@@ -267,12 +267,23 @@ def ann_topk_ivf(
     vec: str = "embedding",
     dim: int | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
+    rerank_salt: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector to its nearest centroid
     cell, probe the query's ``n_probe`` closest cells, exact cosine + top-k
     inside the probed cells only. Pass ``centroids`` (e.g. means recovered
     from ``ivf_train`` statistics) to search a trained quantizer; otherwise
     the k-smallest-id stand-in is fetched.
+
+    ``rerank_salt=S`` turns the final per-query top-k into a two-phase
+    salted re-rank: candidates first reduce to a local top-k inside each of
+    S deterministic sub-partitions (salt = nid mod S), then the ≤ S·k
+    survivors take the exact global window. The result is IDENTICAL (top-k
+    of a union of per-salt top-ks IS the global top-k under the same total
+    order) but the per-task sort is bounded by candidates/S — the mitigation
+    for a dominant IVF cell, where one query's candidate set (≈ the skewed
+    cell) otherwise lands in a single window task. Measured on an 85%-one-
+    cell corpus in BENCH/ivf_skew_bench.py.
 
     The coarse quantizer is deterministic and data-derived: centroids are the
     vectors with the ``n_cells`` smallest ids (the seeded stand-in for a
@@ -371,6 +382,18 @@ def ann_topk_ivf(
         base.join(F.broadcast(q), (F.col("cell") == F.col("qcell")) & (F.col("nid") != F.col("qid")))
         .withColumn("sim_e4", fixed_point(sim))
     )
+    if rerank_salt and rerank_salt > 1:
+        # phase 1: bounded local top-k per (qid, salt) — salt is content-
+        # derived (nid mod S), so recomputed tasks re-derive it identically
+        w1 = Window.partitionBy("qid", "__salt").orderBy(
+            F.col("sim_e4").desc(), F.col("nid").asc()
+        )
+        scored = (
+            scored.withColumn("__salt", F.pmod(F.col("nid"), F.lit(rerank_salt)))
+            .withColumn("__lrk", F.row_number().over(w1))
+            .filter(F.col("__lrk") <= k)
+            .drop("__salt", "__lrk")
+        )
     w = Window.partitionBy("qid").orderBy(F.col("sim_e4").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))

@@ -4,8 +4,9 @@ Same pattern as ``sources/pages.golden_parquet``: expectations computed from
 the generator's OWN arrays (``rawmedia.image_array``/``audio_samples``/
 ``video_frames``) — never through the byte-level codecs under test — and
 persisted where DuckDB can read them. A hash-green ``media_features`` gate
-therefore certifies the full encode→decode roundtrip for all three real
-container formats (BMP/WAV/Y4M) plus the deterministic feature math.
+therefore certifies the full encode→decode roundtrip for all four real
+container formats (BMP/PNG/WAV/Y4M — PNG across gray/truecolor × 8/16-bit
+and all five scanline filters) plus the deterministic feature math.
 
 Rows are pre-exploded to (media_id, kind, n_bytes, pos, feat_e4) so the twin
 is a plain SELECT (no engine-specific unnest-with-ordinality gymnastics).
@@ -13,17 +14,25 @@ is a plain SELECT (no engine-specific unnest-with-ordinality gymnastics).
 
 from __future__ import annotations
 
+import hashlib
+import inspect
 import math
 import os
 
 from ocr_machine_spark.core import rawmedia as RM
+
+# Cache tag derived from the SOURCE of the feature/generator spec: any edit
+# to rawmedia.py (codec, feature math, asset factory) changes the tag and
+# invalidates every cached golden automatically — a stale v-tag can no
+# longer gate against outdated expectations (ADVICE r4 #5).
+_SPEC_TAG = hashlib.md5(inspect.getsource(RM).encode()).hexdigest()[:10]
 
 
 def media_golden_parquet(n: int, base_dir: str = "/tmp/ocr_machine_spark_goldens") -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = os.path.join(base_dir, f"media_goldens_v1_n{n}.parquet")
+    path = os.path.join(base_dir, f"media_goldens_{_SPEC_TAG}_n{n}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(base_dir, exist_ok=True)
@@ -33,7 +42,9 @@ def media_golden_parquet(n: int, base_dir: str = "/tmp/ocr_machine_spark_goldens
         kind = RM.kind_of(i)
         payload_len = len(RM.make_payload(i))
         if kind == "image":
-            feats = RM.image_features(RM.image_array(i))
+            # native (container-specific) array → canonical rgb8 view — the
+            # same feature space the decode path uses, built WITHOUT codecs
+            feats = RM.image_features(RM.to_rgb8(RM.image_native(i)))
         elif kind == "audio":
             feats = RM.audio_features(RM.audio_samples(i), RM.AUDIO_RATE)
         else:
@@ -72,7 +83,7 @@ def media_frame_golden_parquet(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = os.path.join(base_dir, f"media_frame_goldens_v1_n{n}_e{every_n}.parquet")
+    path = os.path.join(base_dir, f"media_frame_goldens_{_SPEC_TAG}_n{n}_e{every_n}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(base_dir, exist_ok=True)

@@ -142,15 +142,21 @@ def test_similarity_ops_survive_null_and_ragged_vectors(spark):
 
 
 def test_ann_recall_floors(spark):
-    """Recall contract (VERDICT r4): the approximate ANN paths are oracled
-    against their own candidate specs, which certifies the mechanism but not
-    the quality — this pins recall@10 vs the exact cosine_topk answer on the
-    sf0.01 embeddings, so a future quantizer/banding change can't silently
-    trade recall for speed. Floors are intentionally below observed values
-    (observed at round 4: banded LSH 0.88, IVF n_probe=4 0.92) but high
-    enough that a broken candidate stage (recall ≈ k/n) fails loudly. This
-    gate is what exposed the original single-bucket ann_topk_lsh at 0.00
-    recall@10 and forced the banded redesign."""
+    """Recall contract (VERDICT r4, floors raised r5): the approximate ANN
+    paths are oracled against their own candidate specs, which certifies the
+    mechanism but not the quality — this pins recall@10 vs the exact
+    cosine_topk answer on the sf0.01 embeddings, so a future quantizer/
+    banding change can't silently trade recall for speed. Floors sit at
+    measured-minus-margin (measured at rounds 4-5: banded LSH 0.88, IVF
+    n_probe=4 0.92; floors 0.80/0.85), so even a few-point regression fails
+    CI — the original 0.5/0.7 floors would have admitted a 30-point drop.
+    The measured values are also written to BENCH/ann_recall.json so drift
+    is visible round-over-round, not only on floor breach. This gate is what
+    exposed the original single-bucket ann_topk_lsh at 0.00 recall@10 and
+    forced the banded redesign."""
+    import json
+    import os
+
     from ocr_machine_spark.operators import similarity as S
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
@@ -166,8 +172,34 @@ def test_ann_recall_floors(spark):
     lsh_recall = len(lsh & exact) / len(exact)
     ivf_recall = len(ivf & exact) / len(exact)
     print(f"recall@10 — lsh: {lsh_recall:.3f}, ivf: {ivf_recall:.3f}")
-    assert lsh_recall >= 0.5, f"LSH recall collapsed: {lsh_recall}"
-    assert ivf_recall >= 0.7, f"IVF recall collapsed: {ivf_recall}"
+    report = {
+        "metric": "ann_recall_at_10_vs_exact",
+        "sf": "0.01",
+        "n_queries": len(qids),
+        "lsh": {"measured": lsh_recall, "floor": 0.80, "config": "16 bands x 4 planes"},
+        "ivf": {"measured": ivf_recall, "floor": 0.85, "config": "n_cells=16 n_probe=4"},
+    }
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "ann_recall.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    assert lsh_recall >= 0.80, f"LSH recall regressed below measured-minus-margin: {lsh_recall}"
+    assert ivf_recall >= 0.85, f"IVF recall regressed below measured-minus-margin: {ivf_recall}"
+
+
+def test_ivf_salted_rerank_identical(spark):
+    """rerank_salt (the IVF skew mitigation) must be a pure physical-plan
+    change: per-salt local top-k then global top-k ≡ global top-k, row for
+    row — including sim_e4 and rank — on real embeddings."""
+    from ocr_machine_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    base = sorted(map(tuple, S.ann_topk_ivf(emb, qids, k=10, n_cells=16, n_probe=4).collect()))
+    for s in (2, 7):
+        salted = sorted(
+            map(tuple, S.ann_topk_ivf(emb, qids, k=10, n_cells=16, n_probe=4, rerank_salt=s).collect())
+        )
+        assert salted == base, f"salt={s} diverged"
 
 
 def test_modal_seed_len_tie_prefers_longer(spark):
