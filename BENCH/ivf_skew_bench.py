@@ -14,9 +14,23 @@ first, then the exact global window over ≤ S·k survivors — identical output
 (pinned by tests/test_dedup_ops.py::test_ivf_salted_rerank_identical), but
 the biggest single task shrinks from |cell| candidate rows to ≈ |cell|/S.
 
-Both the wall time and the OBJECTIVE skew observable are reported: per-stage
-task-duration quantiles + max task duration from Spark's own status REST API
-— the probe-side "task-time spread" the verdict asked to see.
+FINDING (round 5): the measurement shows the feared bottleneck DOES NOT
+EXIST in this plan shape on Spark ≥ 3.5 — the optimizer's
+``InferWindowGroupLimit`` rewrites ``row_number() … filter rk <= k`` into a
+``WindowGroupLimit(Partial)`` BEFORE the qid exchange, so every map task
+pre-prunes its candidates to k per query and the shuffle carries
+O(tasks·k), not O(|cell|), rows: on a 1.02M-row dominant cell the per-qid
+window stage runs in ~50 ms and the salted variant only ADDS a shuffle
+(0.74× wall). The harness verifies the ``WindowGroupLimit Partial``
+operator is present in the plan and records it in the artifact; if a future
+Spark/plan change drops it (the JSON would show window-stage task times
+growing with the cell), ``rerank_salt`` is the ready mitigation — it stays
+available for window consumers whose output is NOT a rank-filter (full
+ranking, percentile assignment), where no group-limit pushdown exists.
+
+Both the wall time and the OBJECTIVE skew observable are reported: per-rep,
+per-stage task-duration quantiles + max task duration from Spark's own
+status REST API — the probe-side "task-time spread" the verdict asked for.
 
 Usage:
     python BENCH/ivf_skew_bench.py           # orchestrates, writes
@@ -105,9 +119,23 @@ def _skewed_embeddings(spark, n: int):
     )
 
 
-def _stage_task_spread(spark) -> list[dict]:
+def _stage_ids(spark) -> set:
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        stages = json.loads(
+            urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages", timeout=10).read()
+        )
+        return {s["stageId"] for s in stages}
+    except Exception:  # noqa: BLE001
+        return set()
+
+
+def _stage_task_spread(spark, only_ids: set | None = None) -> list[dict]:
     """Pull per-stage task-duration quantiles from the Spark UI REST API —
-    the objective skew observable (one straggler task = spread >> 1)."""
+    the objective skew observable (one straggler task = spread >> 1).
+    ``only_ids`` restricts to the stages of one timed rep (the REST API
+    otherwise returns every stage since app start, warmup included)."""
     try:
         ui = spark.sparkContext.uiWebUrl
         app_id = spark.sparkContext.applicationId
@@ -117,6 +145,8 @@ def _stage_task_spread(spark) -> list[dict]:
         out = []
         for st in stages:
             if st.get("numCompleteTasks", 0) < 1:
+                continue
+            if only_ids is not None and st["stageId"] not in only_ids:
                 continue
             sid, att = st["stageId"], st["attemptId"]
             q = json.loads(
@@ -150,6 +180,14 @@ def _measure(variant: str, input_path: str) -> dict:
         app=f"ivfskew-{variant}", master=f"local[{CORES}]", shuffle_partitions=CORES * 2
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # AQE partition-coalescing OFF for BOTH variants: at this toy scale the
+    # post-join partitions are a few MB, so AQE folds the whole window stage
+    # (even the salted one) into ONE task and the measurement would compare
+    # coalescing artifacts, not layouts. On the 100 TB target these
+    # partitions are GBs — far above any advisory size — so never coalesced;
+    # disabling reproduces the cluster-scale physical shape. (AQE stays on
+    # everywhere else in the engine; skew-join handling is orthogonal.)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     emb = spark.read.parquet(input_path)
     qids = list(range(N_CELLS, N_CELLS + N_QUERIES))
     salt = SALT if variant == "salted" else None
@@ -159,28 +197,50 @@ def _measure(variant: str, input_path: str) -> dict:
             emb, qids, k=K, n_cells=N_CELLS, n_probe=2, dim=DIM, rerank_salt=salt
         ).count()
 
+    # plan evidence: is the rank-filter window map-side-bounded?
+    plan = (
+        ann_topk_ivf(emb, qids, k=K, n_cells=N_CELLS, n_probe=2, dim=DIM, rerank_salt=salt)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    has_partial_limit = "WindowGroupLimit" in plan and "Partial" in plan
     ann_topk_ivf(
         emb.limit(50000), qids, k=K, n_cells=N_CELLS, n_probe=2, dim=DIM, rerank_salt=salt
     ).count()  # warmup: codegen + python workers
     best = None
     n = 0
-    for _ in range(REPS):
+    tries = 0
+    max_tries = REPS * 4
+    reps_done = 0
+    while reps_done < REPS and tries < max_tries:
+        tries += 1
+        before = _stage_ids(spark)
         st0, tt0 = _steal_total(CORES)
         t0 = time.perf_counter()
         n = run()
         sec = time.perf_counter() - t0
         st1, tt1 = _steal_total(CORES)
+        rep_stages = _stage_ids(spark) - before
         res = {
             "variant": variant,
             "cores": CORES,
             "rows": n,
             "sec": round(sec, 2),
             "steal_frac": round((st1 - st0) / max(tt1 - tt0, 1.0), 4),
+            "task_spread": _stage_task_spread(spark, rep_stages),
         }
         print(f"    {variant}: {res['sec']}s steal={res['steal_frac']:.3%}", file=sys.stderr)
-        if best is None or res["sec"] < best["sec"]:
+        if res["steal_frac"] >= 0.01:
+            # contaminated window — keep as fallback but don't count the rep
+            if best is None:
+                best = res
+            continue
+        reps_done += 1
+        if best is None or best["steal_frac"] >= 0.01 or res["sec"] < best["sec"]:
             best = res
-    best["task_spread"] = _stage_task_spread(spark)
+    best["window_group_limit_partial"] = has_partial_limit
+    best["steal_clean"] = best["steal_frac"] < 0.01
     spark.stop()
     return best
 
@@ -229,37 +289,51 @@ def _orchestrate() -> None:
             "salted_speedup": speedup,
             "unsalted_max_task_ms": _max_task(results["unsalted"]),
             "salted_max_task_ms": _max_task(results["salted"]),
+            "window_group_limit_partial": results["unsalted"].get("window_group_limit_partial"),
             "variants": results,
         }
         with open(os.path.join(REPO, "BENCH", "ivf_skew_bench.json"), "w") as f:
             json.dump(summary, f, indent=2)
         print(json.dumps(summary))
 
+        def _window_stage_ms(r):
+            # the per-qid window stage = the 2·cores-task stage (shuffle
+            # partitions) with the smallest p50 — report its max task time
+            cands = [s for s in r.get("task_spread", []) if s.get("tasks") == CORES * 2]
+            return max((s["max_ms"] for s in cands), default=None)
+
         md = os.path.join(REPO, "BENCH", "BASELINE.md")
         lines = [
             "",
-            "## IVF cell-skew demonstration (round 5)",
+            "## IVF cell-skew measurement (round 5)",
             "",
             f"Input: {N_VECS} vectors (dim {DIM}), {MEGA_SHARE}% quantizing into ONE",
             f"cell; {N_QUERIES} queries probing that cell on local[{CORES}]",
-            f"(taskset-pinned). `rerank_salt={SALT}` splits the per-query candidate",
-            "window into salted local top-k + exact global top-k — identical",
-            "output (CI-pinned), bounded per-task candidate set.",
+            "(taskset-pinned, AQE partition-coalescing off so the toy scale keeps",
+            "the cluster-scale physical shape).",
             "",
-            "| variant | sec | max task ms | steal |",
-            "|---|---|---|---|",
+            "| variant | sec | max task ms (any stage) | window-stage max task ms | steal |",
+            "|---|---|---|---|---|",
         ]
         for v in ("unsalted", "salted"):
             r = results[v]
             lines.append(
-                f"| {v} | {r['sec']} | {_max_task(r)} | {r['steal_frac']:.2%} |"
+                f"| {v} | {r['sec']} | {_max_task(r)} | {_window_stage_ms(r)} | {r['steal_frac']:.2%} |"
             )
         lines.append("")
         lines.append(
-            f"**Salted re-rank speedup: {speedup}×** on wall time; the scale-"
-            "critical change is the per-task bound — the dominant cell's"
-            " candidates no longer serialize through one window task (at 10^12"
-            " rows that task is an OOM, not a slowdown)."
+            "**Finding: the feared dominant-cell window bottleneck does not exist"
+            " in this plan shape.** Spark's `InferWindowGroupLimit` plans a"
+            " `WindowGroupLimit(Partial)` BELOW the qid exchange (verified in the"
+            " executed plan, recorded in the artifact), so each map task pre-"
+            "prunes candidates to k per query and the per-qid window stage sorts"
+            f" O(tasks·k) rows — ~{_window_stage_ms(results['unsalted'])} ms max on a"
+            " 1.02M-row dominant cell. The salted re-rank (identical output,"
+            f" CI-pinned) only adds a shuffle here ({speedup}× wall); it remains"
+            " the mitigation for rank-free window consumers where no group-limit"
+            " pushdown applies, and this artifact is the tripwire: if a plan"
+            " change ever drops the partial limit, the window-stage column blows"
+            " up with the cell size."
         )
         with open(md, "a") as f:
             f.write("\n".join(lines) + "\n")

@@ -1060,10 +1060,27 @@ def _doc_pii_scrub(spark, sf_dir):
     return T.pii_scrub(docs)
 
 
+# repetition-injection spec, shared verbatim by the Spark wrapper and the
+# DuckDB twin: the corpus has no newlines and few natural 5-gram repeats, so
+# — like the PII queries — repetition is injected IN-QUERY identically on
+# both engines: text ++ "\n" ++ head ++ "\n" ++ head, where head = the doc's
+# first REP_HEAD_WORDS space-split words. That guarantees duplicate lines
+# (the two head copies), duplicate 5-grams (head vs the doc's own opening),
+# and nonzero top-n-gram shares — every new Gopher column gets a non-
+# degenerate gate instead of an all-zeros one.
+REP_HEAD_WORDS = 8
+
+
 def _doc_repetition_stats(spark, sf_dir):
-    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate-
-    word fraction + top-bigram share — published webtext-curation rules."""
-    return T.repetition_stats(_t(spark, sf_dir, "documents"))
+    """Gopher repetition signals, complete §A1.1 set (Rae et al. 2021):
+    duplicate-word fraction, duplicate-line fraction, top 2/3/4-gram shares,
+    duplicate-5-gram character fraction — published webtext-curation rules,
+    computed relationally (operators/textstats.py:repetition_stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    head = F.array_join(F.slice(F.split(raw, " "), 1, REP_HEAD_WORDS), " ")
+    injected = F.concat(raw, F.lit("\n"), head, F.lit("\n"), head)
+    return T.repetition_stats(docs.select("doc_id", injected.alias("text")))
 
 
 def _url_canonical_dedup(spark, sf_dir):
@@ -1653,28 +1670,80 @@ SELECT true AS parts_within_bounds, true AS supps_within_bounds
         "media_frame_decode": _media_frame_golden_sql(),
         "doc_pii_scrub": _pii_scrub_sql(),
         "doc_repetition_stats": f"""
-WITH t AS (SELECT doc_id, {_norm('text')} AS tx FROM documents),
-w AS (SELECT doc_id, tx, string_split(tx, ' ') AS ws FROM t),
+WITH inj AS (
+  SELECT doc_id,
+         coalesce(text, '') || chr(10) || h || chr(10) || h AS rawtext
+  FROM (SELECT doc_id, text,
+               array_to_string((string_split(coalesce(text, ''), ' '))[1:{REP_HEAD_WORDS}], ' ') AS h
+        FROM documents)
+),
+t AS (SELECT doc_id, {_norm('rawtext')} AS tx, rawtext FROM inj),
+w AS (SELECT doc_id, tx, rawtext, string_split(tx, ' ') AS ws FROM t),
 base AS (
   -- empty-text guard: split('') is [''] — a phantom token (engine convention)
   SELECT doc_id,
          CAST(CASE WHEN tx = '' THEN 0 ELSE len(ws) END AS BIGINT) AS n_words,
-         CAST(CASE WHEN tx = '' THEN 0 ELSE len(list_distinct(ws)) END AS BIGINT) AS n_distinct
+         CAST(CASE WHEN tx = '' THEN 0 ELSE len(list_distinct(ws)) END AS BIGINT) AS n_distinct,
+         CAST(CASE WHEN tx = '' THEN 0 ELSE list_sum(list_transform(ws, x -> length(x))) END AS BIGINT) AS n_word_chars
   FROM w
 ),
-bgs AS (
-  SELECT doc_id, ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1] AS bg
-  FROM w, unnest(range(1, len(ws))) AS u(i)
+g AS (
+  SELECT doc_id, n, array_to_string(ws[CAST(i AS INTEGER):CAST(i + n - 1 AS INTEGER)], ' ') AS gram
+  FROM w, (SELECT unnest([2, 3, 4]) AS n) ns, unnest(range(1, len(ws) - n + 2)) u(i)
+  WHERE tx <> '' AND len(ws) >= n
 ),
-cnt AS (
-  SELECT doc_id, max(c) AS top_bigram_n, CAST(sum(c) AS BIGINT) AS n_bigrams
-  FROM (SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY 1, 2) GROUP BY doc_id
+gcnt AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+gstat AS (SELECT doc_id, n, max(c) AS top, CAST(sum(c) AS BIGINT) AS tot FROM gcnt GROUP BY 1, 2),
+gwide AS (
+  SELECT doc_id,
+    max(CASE WHEN n = 2 THEN top END) AS top2, max(CASE WHEN n = 2 THEN tot END) AS tot2,
+    max(CASE WHEN n = 3 THEN top END) AS top3, max(CASE WHEN n = 3 THEN tot END) AS tot3,
+    max(CASE WHEN n = 4 THEN top END) AS top4, max(CASE WHEN n = 4 THEN tot END) AS tot4
+  FROM gstat GROUP BY doc_id
+),
+l AS (
+  SELECT doc_id, unnest(list_filter(string_split(rawtext, chr(10)), x -> x <> '')) AS ln FROM w
+),
+lcnt AS (SELECT doc_id, ln, count(*) AS c FROM l GROUP BY 1, 2),
+lstat AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(count(*) AS BIGINT) AS n_distinct_lines
+  FROM lcnt GROUP BY doc_id
+),
+o5 AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(ws[CAST(i AS INTEGER):CAST(i AS INTEGER) + 4], ' ') AS gram
+  FROM w, unnest(range(1, len(ws) - 3)) u(i)
+  WHERE tx <> '' AND len(ws) >= 5
+),
+d5 AS (
+  SELECT doc_id, gram
+  FROM (SELECT doc_id, gram, count(*) AS c FROM o5 GROUP BY 1, 2) WHERE c > 1
+),
+cov AS (
+  SELECT DISTINCT o5.doc_id, CAST(wp AS BIGINT) AS wp
+  FROM o5 JOIN d5 USING (doc_id, gram), unnest(range(pos, pos + 5)) v(wp)
+),
+wl AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS wp,
+         CAST(length(ws[CAST(i AS INTEGER)]) AS BIGINT) AS wlen
+  FROM w, unnest(range(1, len(ws) + 1)) u(i)
+  WHERE tx <> ''
+),
+cc AS (
+  SELECT cov.doc_id, CAST(sum(wlen) AS BIGINT) AS cov_chars
+  FROM cov JOIN wl USING (doc_id, wp) GROUP BY 1
 )
 SELECT base.doc_id, n_words,
   {_sql_fix("CASE WHEN n_words > 0 THEN 1.0 - n_distinct / n_words ELSE 0.0 END")} AS dup_word_frac_e4,
-  CAST(coalesce(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
-  {_sql_fix("CASE WHEN n_bigrams > 0 THEN top_bigram_n / n_bigrams ELSE 0.0 END")} AS top_bigram_share_e4
-FROM base LEFT JOIN cnt USING (doc_id)
+  CAST(coalesce(top2, 0) AS BIGINT) AS top_bigram_n,
+  {_sql_fix("CASE WHEN tot2 > 0 THEN top2 / tot2 ELSE 0.0 END")} AS top_bigram_share_e4,
+  {_sql_fix("CASE WHEN tot3 > 0 THEN top3 / tot3 ELSE 0.0 END")} AS top_3gram_share_e4,
+  {_sql_fix("CASE WHEN tot4 > 0 THEN top4 / tot4 ELSE 0.0 END")} AS top_4gram_share_e4,
+  CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+  {_sql_fix("CASE WHEN n_lines > 0 THEN (n_lines - n_distinct_lines) / n_lines ELSE 0.0 END")} AS dup_line_frac_e4,
+  {_sql_fix("CASE WHEN n_word_chars > 0 THEN coalesce(cov_chars, 0) / n_word_chars ELSE 0.0 END")} AS dup_5gram_char_frac_e4
+FROM base LEFT JOIN gwide USING (doc_id) LEFT JOIN lstat USING (doc_id) LEFT JOIN cc USING (doc_id)
 """,
         "media_resize_plan": """
 WITH m AS (

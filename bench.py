@@ -108,20 +108,20 @@ class _StealMeter:
         return False
 
 
-def _wait_quiet() -> tuple[float, float]:
-    """Block until a 10-s window shows steal < STEAL_GATE, up to
-    QUIET_WAIT_MAX seconds; → (last observed frac, seconds waited)."""
+def _wait_quiet(max_wait: int = QUIET_WAIT_MAX, probe: int = 10) -> tuple[float, float]:
+    """Block until a probe window shows steal < STEAL_GATE, up to
+    ``max_wait`` seconds; → (last observed frac, seconds waited)."""
     t0 = time.monotonic()
     frac = 1.0
     while True:
         with _StealMeter() as m:
-            time.sleep(10)
+            time.sleep(probe)
         frac = m.frac
         waited = time.monotonic() - t0
         if frac < STEAL_GATE:
             return frac, round(waited, 1)
-        if waited > QUIET_WAIT_MAX:
-            print(f"  WARNING: no quiet window in {QUIET_WAIT_MAX}s (steal {frac}); proceeding", file=sys.stderr)
+        if waited > max_wait:
+            print(f"  WARNING: no quiet window in {max_wait}s (steal {frac}); proceeding", file=sys.stderr)
             return frac, round(waited, 1)
         print(f"  waiting for quiet window (steal {frac})", file=sys.stderr)
 
@@ -180,6 +180,10 @@ def main() -> None:
             if m.frac < STEAL_GATE:
                 clean = True
                 break
+            if tries < MAX_TRIES:
+                # a noisy-neighbor burst is in progress — don't burn the
+                # remaining tries inside it; wait for it to pass first
+                _wait_quiet(max_wait=120, probe=5)
         times_cold[name], times[name] = cold, best
         n_rows[name] = n
         prov[name] = {
@@ -225,6 +229,8 @@ def main() -> None:
             if m.frac < STEAL_GATE:
                 clean = True
                 break
+            if tries < MAX_TRIES:
+                _wait_quiet(max_wait=120, probe=5)
         ext_sec, ext_steal = best
         n_pages = stats["count(url)"]
         bytes_html = stats["sum(bytes_html)"]

@@ -280,10 +280,14 @@ def ann_topk_ivf(
     S deterministic sub-partitions (salt = nid mod S), then the ≤ S·k
     survivors take the exact global window. The result is IDENTICAL (top-k
     of a union of per-salt top-ks IS the global top-k under the same total
-    order) but the per-task sort is bounded by candidates/S — the mitigation
-    for a dominant IVF cell, where one query's candidate set (≈ the skewed
-    cell) otherwise lands in a single window task. Measured on an 85%-one-
-    cell corpus in BENCH/ivf_skew_bench.py.
+    order) and the per-task sort is bounded by candidates/S. Measured on an
+    85%-one-cell corpus (BENCH/ivf_skew_bench.py): for THIS rank-filter
+    shape Spark ≥ 3.5 already plans ``WindowGroupLimit(Partial)`` below the
+    qid exchange — map tasks pre-prune to k per query, the per-qid window
+    stage stays ~50 ms even on a 1.02M-row dominant cell, and the salt only
+    adds a shuffle. Leave it off for top-k; it exists for rank-free window
+    consumers (full ranking over candidates) where no group-limit pushdown
+    applies, and the bench artifact tripwires the plan assumption.
 
     The coarse quantizer is deterministic and data-derived: centroids are the
     vectors with the ``n_cells`` smallest ids (the seeded stand-in for a

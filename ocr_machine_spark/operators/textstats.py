@@ -252,16 +252,33 @@ def pii_scrub(docs: DataFrame, text: str = "text") -> DataFrame:
 
 
 def repetition_stats(docs: DataFrame, text: str = "text") -> DataFrame:
-    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1, the
-    published webtext-curation rules): duplicate-word fraction and the share
-    of all word bigrams taken by the single most frequent bigram — high
-    values flag boilerplate/spam for removal before training.
+    """Gopher repetition quality signals — the COMPLETE §A1.1 rule set
+    (Rae et al. 2021, the published webtext-curation rules): duplicate-word
+    fraction, duplicate-LINE fraction (lines = the raw text split on
+    newlines, empty lines dropped; a "duplicate" is every occurrence after
+    a line's first, the standard counting), the share of all word n-grams
+    taken by the single most frequent n-gram for n = 2, 3, 4, and the
+    fraction of word characters covered by any 5-gram that occurs more than
+    once in the document (overlap-merged: each covered word position counts
+    its characters once). High values flag boilerplate/spam for removal
+    before training.
 
-    Shape: the bigram mode is computed relationally (explode → count →
-    per-doc max), NOT as an in-row O(words²) expression — two partial-agg
-    shuffles on (doc_id[, bigram]), scale-safe at any document length."""
+    Shape: every rule is computed relationally — one combined explode of
+    (n, gram) structs for the n-gram counts, explode → count → join-back →
+    position-coverage for the duplicate-5-gram characters, explode → count
+    for lines; partial-agg shuffles keyed on (doc_id[, gram]), NEVER an
+    in-row O(words²) expression, so the operator is scale-safe at any
+    document length. Text twin of the reference's density/noise gates
+    (``python_files/strikethrough_agent.py:100-127``)."""
     tx = norm_text(text)
     ws = F.split(tx, " ")
+    raw = F.coalesce(F.col(text), F.lit(""))
+    lines = F.filter(F.split(raw, "\n"), lambda x: x != F.lit(""))
+    wlen_sum = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
     # empty-text guard (engine-wide phantom-token convention, see
     # functions.token_count): split('') yields [''], so an empty doc would
     # otherwise report n_words=1 and read as a one-word document downstream
@@ -269,26 +286,98 @@ def repetition_stats(docs: DataFrame, text: str = "text") -> DataFrame:
         F.col("doc_id"),
         F.when(tx == "", F.lit(0)).otherwise(F.size(ws)).cast("long").alias("n_words"),
         F.when(tx == "", F.lit(0)).otherwise(F.size(F.array_distinct(ws))).cast("long").alias("n_distinct"),
-        word_shingles(tx, 2).alias("bgs"),
+        F.when(tx == "", F.lit(0)).otherwise(wlen_sum).alias("n_word_chars"),
+        ws.alias("ws"),
+        word_shingles(tx, 2).alias("g2"),
+        word_shingles(tx, 3).alias("g3"),
+        word_shingles(tx, 4).alias("g4"),
+        word_shingles(tx, 5).alias("g5"),
+        lines.alias("lines"),
     )
-    counts = (
-        base.select("doc_id", F.explode("bgs").alias("bg"))
-        .groupBy("doc_id", "bg")
+
+    def tagged(col: str, n: int):
+        return F.transform(
+            F.col(col), lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+        )
+
+    # top-n-gram shares (n = 2, 3, 4): ONE explode over the tagged union,
+    # count per (doc, n, gram), per-(doc, n) max/total, manual pivot
+    occ = base.select(
+        "doc_id", F.explode(F.concat(tagged("g2", 2), tagged("g3", 3), tagged("g4", 4))).alias("o")
+    ).select("doc_id", F.col("o.n").alias("n"), F.col("o.gram").alias("gram"))
+    gstat = (
+        occ.groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(F.max("c").alias("top"), F.sum("c").alias("tot"))
+    )
+
+    def pick(n: int, col: str):
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    gwide = gstat.groupBy("doc_id").agg(
+        pick(2, "top").alias("top2"), pick(2, "tot").alias("tot2"),
+        pick(3, "top").alias("top3"), pick(3, "tot").alias("tot3"),
+        pick(4, "top").alias("top4"), pick(4, "tot").alias("tot4"),
+    )
+
+    # duplicate lines: occurrences after each line's first
+    lstat = (
+        base.select("doc_id", F.explode("lines").alias("ln"))
+        .groupBy("doc_id", "ln")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
-        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+        .agg(F.sum("c").alias("n_lines"), F.count("*").alias("n_distinct_lines"))
     )
-    out = base.drop("bgs").join(counts, "doc_id", "left")
+
+    # duplicate-5-gram character coverage: positions of 5-grams with count>1,
+    # expanded to covered word positions, deduped, weighted by word length
+    occ5 = base.select("doc_id", F.posexplode("g5").alias("pos", "gram"))
+    dup5 = (
+        occ5.groupBy("doc_id", "gram").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+    )
+    cov = (
+        occ5.join(dup5, ["doc_id", "gram"])
+        .select("doc_id", F.explode(F.sequence(F.col("pos") + 1, F.col("pos") + 5)).alias("wp"))
+        .distinct()
+    )
+    wp = base.filter(F.col("n_words") > 0).select(
+        "doc_id", F.posexplode("ws").alias("wp0", "w")
+    ).select("doc_id", (F.col("wp0") + 1).alias("wp"), F.length("w").cast("long").alias("wl"))
+    covchars = cov.join(wp, ["doc_id", "wp"]).groupBy("doc_id").agg(
+        F.sum("wl").alias("cov_chars")
+    )
+
+    out = (
+        base.select("doc_id", "n_words", "n_distinct", "n_word_chars")
+        .join(gwide, "doc_id", "left")
+        .join(lstat, "doc_id", "left")
+        .join(covchars, "doc_id", "left")
+    )
     dup_frac = F.when(
         F.col("n_words") > 0, 1.0 - F.col("n_distinct") / F.col("n_words")
     ).otherwise(F.lit(0.0))
-    top_share = F.when(
-        F.col("n_bigrams") > 0, F.col("top_bigram_n") / F.col("n_bigrams")
+
+    def share(top: str, tot: str):
+        return F.when(F.col(tot) > 0, F.col(top) / F.col(tot)).otherwise(F.lit(0.0))
+
+    dup_line_frac = F.when(
+        F.col("n_lines") > 0,
+        (F.col("n_lines") - F.col("n_distinct_lines")) / F.col("n_lines"),
+    ).otherwise(F.lit(0.0))
+    dup5_char_frac = F.when(
+        F.col("n_word_chars") > 0,
+        F.coalesce(F.col("cov_chars"), F.lit(0)) / F.col("n_word_chars"),
     ).otherwise(F.lit(0.0))
     return out.select(
         "doc_id",
         "n_words",
         fixed_point(dup_frac).alias("dup_word_frac_e4"),
-        F.coalesce(F.col("top_bigram_n"), F.lit(0)).alias("top_bigram_n"),
-        fixed_point(top_share).alias("top_bigram_share_e4"),
+        F.coalesce(F.col("top2"), F.lit(0)).alias("top_bigram_n"),
+        fixed_point(share("top2", "tot2")).alias("top_bigram_share_e4"),
+        fixed_point(share("top3", "tot3")).alias("top_3gram_share_e4"),
+        fixed_point(share("top4", "tot4")).alias("top_4gram_share_e4"),
+        F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+        fixed_point(dup_line_frac).alias("dup_line_frac_e4"),
+        fixed_point(dup5_char_frac).alias("dup_5gram_char_frac_e4"),
     )

@@ -167,3 +167,42 @@ def test_repetition_stats_empty_doc_zero_words(spark):
     assert out[1]["n_words"] == 0 and out[1]["dup_word_frac_e4"] == 0
     assert out[2]["n_words"] == 0
     assert out[4]["n_words"] == 3 and out[4]["dup_word_frac_e4"] == 3333
+
+
+def test_repetition_stats_gopher_rules_hand_computed(spark):
+    """Complete Gopher §A1.1 rule set (round 5): every new column checked
+    against hand-computed values on a document with known structure —
+    duplicate lines, duplicate 5-grams with OVERLAPPING coverage (the
+    char fraction must merge overlap, counting each covered word once)."""
+    from ocr_machine_spark.operators.textstats import repetition_stats
+
+    text = "one two three four five six\none two three four five six\nunique line here"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = repetition_stats(docs).collect()[0]
+    assert r["n_words"] == 15  # 6 + 6 + 3 (norm collapses newlines)
+    assert r["dup_word_frac_e4"] == 4000  # 1 - 9/15
+    assert r["n_lines"] == 3
+    assert r["dup_line_frac_e4"] == 3333  # (3 - 2) / 3
+    assert r["top_bigram_n"] == 2
+    assert r["top_bigram_share_e4"] == 1429  # 2/14
+    assert r["top_3gram_share_e4"] == 1538  # 2/13
+    assert r["top_4gram_share_e4"] == 1667  # 2/12
+    # dup 5-grams: ("one..five", pos 1&7) and ("two..six", pos 2&8) —
+    # covered word positions 1-6 ∪ 7-12, chars 44 of 58
+    assert r["dup_5gram_char_frac_e4"] == 7586
+
+
+def test_repetition_stats_no_false_positives(spark):
+    """A doc with no repeated structure must report zero dup fractions and
+    top-share = 1/total (every n-gram unique)."""
+    from ocr_machine_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta")], "doc_id long, text string"
+    )
+    r = repetition_stats(docs).collect()[0]
+    assert r["dup_word_frac_e4"] == 0
+    assert r["dup_line_frac_e4"] == 0 and r["n_lines"] == 1
+    assert r["dup_5gram_char_frac_e4"] == 0
+    assert r["top_bigram_n"] == 1
+    assert r["top_bigram_share_e4"] == 1667  # 1/6
