@@ -1083,6 +1083,15 @@ def _doc_repetition_stats(spark, sf_dir):
     return T.repetition_stats(docs.select("doc_id", injected.alias("text")))
 
 
+def _doc_gopher_filter(spark, sf_dir):
+    """The curation DECISION over the RAW corpus (no injection — the point
+    is a non-trivial keep/drop split on natural data): complete Gopher rule
+    ladder, reasons audit string, thresholds corpus-adapted
+    (textstats.GOPHER_DEFAULTS). At sf0.01: 285/500 kept, four distinct
+    rules fire."""
+    return T.gopher_filter(_t(spark, sf_dir, "documents"))
+
+
 def _url_canonical_dedup(spark, sf_dir):
     """URL canonicalization + variant rollup: each fixture url is exploded
     into five crawl-realistic variants (tracking params, fragment, trailing
@@ -1200,6 +1209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": _doc_rolling_fingerprint,
         "doc_winnow_fingerprints": _doc_winnow_fingerprints,
         "doc_stratified_sample": _doc_stratified_sample,
+        # round 5: the curation decision the Gopher stats feed (complete
+        # rule ladder + reasons audit trail over the raw corpus)
+        "doc_gopher_filter": _doc_gopher_filter,
     }
 
 
@@ -1217,6 +1229,123 @@ def _sql_toks(t: str) -> str:
     (string_split('') yields [''], a phantom token; twin of the guarded
     functions.token_count)."""
     return f"CASE WHEN {t} = '' THEN 0 ELSE len(string_split({t}, ' ')) END"
+
+
+def _repetition_sql(src: str) -> str:
+    """Complete Gopher §A1.1 stats over ``src`` → (doc_id, rawtext) — the
+    shared CTE chain behind both the injected ``doc_repetition_stats`` twin
+    and the raw-corpus ``doc_gopher_filter`` twin."""
+    return f"""
+WITH src AS ({src}),
+t AS (SELECT doc_id, {_norm('rawtext')} AS tx, rawtext FROM src),
+w AS (SELECT doc_id, tx, rawtext, string_split(tx, ' ') AS ws FROM t),
+base AS (
+  -- empty-text guard: split('') is [''] — a phantom token (engine convention)
+  SELECT doc_id,
+         CAST(CASE WHEN tx = '' THEN 0 ELSE len(ws) END AS BIGINT) AS n_words,
+         CAST(CASE WHEN tx = '' THEN 0 ELSE len(list_distinct(ws)) END AS BIGINT) AS n_distinct,
+         CAST(CASE WHEN tx = '' THEN 0 ELSE list_sum(list_transform(ws, x -> length(x))) END AS BIGINT) AS n_word_chars
+  FROM w
+),
+g AS (
+  SELECT doc_id, n, array_to_string(ws[CAST(i AS INTEGER):CAST(i + n - 1 AS INTEGER)], ' ') AS gram
+  FROM w, (SELECT unnest([2, 3, 4]) AS n) ns, unnest(range(1, len(ws) - n + 2)) u(i)
+  WHERE tx <> '' AND len(ws) >= n
+),
+gcnt AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+gstat AS (SELECT doc_id, n, max(c) AS top, CAST(sum(c) AS BIGINT) AS tot FROM gcnt GROUP BY 1, 2),
+gwide AS (
+  SELECT doc_id,
+    max(CASE WHEN n = 2 THEN top END) AS top2, max(CASE WHEN n = 2 THEN tot END) AS tot2,
+    max(CASE WHEN n = 3 THEN top END) AS top3, max(CASE WHEN n = 3 THEN tot END) AS tot3,
+    max(CASE WHEN n = 4 THEN top END) AS top4, max(CASE WHEN n = 4 THEN tot END) AS tot4
+  FROM gstat GROUP BY doc_id
+),
+l AS (
+  SELECT doc_id, unnest(list_filter(string_split(rawtext, chr(10)), x -> x <> '')) AS ln FROM w
+),
+lcnt AS (SELECT doc_id, ln, count(*) AS c FROM l GROUP BY 1, 2),
+lstat AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(count(*) AS BIGINT) AS n_distinct_lines
+  FROM lcnt GROUP BY doc_id
+),
+o5 AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(ws[CAST(i AS INTEGER):CAST(i AS INTEGER) + 4], ' ') AS gram
+  FROM w, unnest(range(1, len(ws) - 3)) u(i)
+  WHERE tx <> '' AND len(ws) >= 5
+),
+d5 AS (
+  SELECT doc_id, gram
+  FROM (SELECT doc_id, gram, count(*) AS c FROM o5 GROUP BY 1, 2) WHERE c > 1
+),
+cov AS (
+  SELECT DISTINCT o5.doc_id, CAST(wp AS BIGINT) AS wp
+  FROM o5 JOIN d5 USING (doc_id, gram), unnest(range(pos, pos + 5)) v(wp)
+),
+wl AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS wp,
+         CAST(length(ws[CAST(i AS INTEGER)]) AS BIGINT) AS wlen
+  FROM w, unnest(range(1, len(ws) + 1)) u(i)
+  WHERE tx <> ''
+),
+cc AS (
+  SELECT cov.doc_id, CAST(sum(wlen) AS BIGINT) AS cov_chars
+  FROM cov JOIN wl USING (doc_id, wp) GROUP BY 1
+)
+SELECT base.doc_id, n_words,
+  {_sql_fix("CASE WHEN n_words > 0 THEN 1.0 - n_distinct / n_words ELSE 0.0 END")} AS dup_word_frac_e4,
+  CAST(coalesce(top2, 0) AS BIGINT) AS top_bigram_n,
+  {_sql_fix("CASE WHEN tot2 > 0 THEN top2 / tot2 ELSE 0.0 END")} AS top_bigram_share_e4,
+  {_sql_fix("CASE WHEN tot3 > 0 THEN top3 / tot3 ELSE 0.0 END")} AS top_3gram_share_e4,
+  {_sql_fix("CASE WHEN tot4 > 0 THEN top4 / tot4 ELSE 0.0 END")} AS top_4gram_share_e4,
+  CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+  {_sql_fix("CASE WHEN n_lines > 0 THEN (n_lines - n_distinct_lines) / n_lines ELSE 0.0 END")} AS dup_line_frac_e4,
+  {_sql_fix("CASE WHEN n_word_chars > 0 THEN coalesce(cov_chars, 0) / n_word_chars ELSE 0.0 END")} AS dup_5gram_char_frac_e4
+FROM base LEFT JOIN gwide USING (doc_id) LEFT JOIN lstat USING (doc_id) LEFT JOIN cc USING (doc_id)
+"""
+
+
+def _gopher_filter_sql() -> str:
+    """Twin of operators.textstats.gopher_filter: the repetition stats over
+    the RAW corpus (no injection) + exact-integer mean word length, then the
+    fixed-order rule ladder compared threshold-vs-e4 as BIGINTs."""
+    c = T.GOPHER_DEFAULTS
+    stats = _repetition_sql("SELECT doc_id, coalesce(text, '') AS rawtext FROM documents")
+    rules = [
+        ("too_few_words", f"n_words < {c['min_words']}"),
+        ("too_many_words", f"n_words > {c['max_words']}"),
+        (
+            "mean_word_len",
+            f"(mwl_e4 < {c['min_mean_word_len_e4']}) OR (mwl_e4 > {c['max_mean_word_len_e4']})",
+        ),
+        ("dup_words", f"dup_word_frac_e4 > {c['max_dup_word_frac_e4']}"),
+        ("dup_lines", f"dup_line_frac_e4 > {c['max_dup_line_frac_e4']}"),
+        ("top_bigram", f"top_bigram_share_e4 > {c['max_top_bigram_share_e4']}"),
+        ("dup_5grams", f"dup_5gram_char_frac_e4 > {c['max_dup_5gram_char_frac_e4']}"),
+    ]
+    reasons = "concat_ws(',', " + ", ".join(
+        f"CASE WHEN {cond} THEN '{name}' END" for name, cond in rules
+    ) + ")"
+    toks = "len(string_split(tx, ' '))"
+    return f"""
+WITH stats AS ({stats}),
+mw AS (SELECT doc_id, {_norm("coalesce(text, '')")} AS tx FROM documents),
+mwl AS (
+  SELECT doc_id,
+    CASE WHEN tx = '' THEN CAST(0 AS BIGINT)
+         ELSE {_sql_fix(f"(length(tx) - ({toks} - 1)) / {toks}")}
+    END AS mwl_e4
+  FROM mw
+),
+r AS (
+  SELECT stats.doc_id, n_words, {reasons} AS reasons
+  FROM stats JOIN mwl USING (doc_id)
+)
+SELECT doc_id, n_words, (reasons = '') AS keep, reasons FROM r
+"""
+
 
 
 def _lang_sql() -> str:
@@ -1669,82 +1798,14 @@ SELECT true AS parts_within_bounds, true AS supps_within_bounds
         "media_features": _media_golden_sql(),
         "media_frame_decode": _media_frame_golden_sql(),
         "doc_pii_scrub": _pii_scrub_sql(),
-        "doc_repetition_stats": f"""
-WITH inj AS (
-  SELECT doc_id,
+        "doc_repetition_stats": _repetition_sql(
+            f"""SELECT doc_id,
          coalesce(text, '') || chr(10) || h || chr(10) || h AS rawtext
   FROM (SELECT doc_id, text,
                array_to_string((string_split(coalesce(text, ''), ' '))[1:{REP_HEAD_WORDS}], ' ') AS h
-        FROM documents)
-),
-t AS (SELECT doc_id, {_norm('rawtext')} AS tx, rawtext FROM inj),
-w AS (SELECT doc_id, tx, rawtext, string_split(tx, ' ') AS ws FROM t),
-base AS (
-  -- empty-text guard: split('') is [''] — a phantom token (engine convention)
-  SELECT doc_id,
-         CAST(CASE WHEN tx = '' THEN 0 ELSE len(ws) END AS BIGINT) AS n_words,
-         CAST(CASE WHEN tx = '' THEN 0 ELSE len(list_distinct(ws)) END AS BIGINT) AS n_distinct,
-         CAST(CASE WHEN tx = '' THEN 0 ELSE list_sum(list_transform(ws, x -> length(x))) END AS BIGINT) AS n_word_chars
-  FROM w
-),
-g AS (
-  SELECT doc_id, n, array_to_string(ws[CAST(i AS INTEGER):CAST(i + n - 1 AS INTEGER)], ' ') AS gram
-  FROM w, (SELECT unnest([2, 3, 4]) AS n) ns, unnest(range(1, len(ws) - n + 2)) u(i)
-  WHERE tx <> '' AND len(ws) >= n
-),
-gcnt AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
-gstat AS (SELECT doc_id, n, max(c) AS top, CAST(sum(c) AS BIGINT) AS tot FROM gcnt GROUP BY 1, 2),
-gwide AS (
-  SELECT doc_id,
-    max(CASE WHEN n = 2 THEN top END) AS top2, max(CASE WHEN n = 2 THEN tot END) AS tot2,
-    max(CASE WHEN n = 3 THEN top END) AS top3, max(CASE WHEN n = 3 THEN tot END) AS tot3,
-    max(CASE WHEN n = 4 THEN top END) AS top4, max(CASE WHEN n = 4 THEN tot END) AS tot4
-  FROM gstat GROUP BY doc_id
-),
-l AS (
-  SELECT doc_id, unnest(list_filter(string_split(rawtext, chr(10)), x -> x <> '')) AS ln FROM w
-),
-lcnt AS (SELECT doc_id, ln, count(*) AS c FROM l GROUP BY 1, 2),
-lstat AS (
-  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
-         CAST(count(*) AS BIGINT) AS n_distinct_lines
-  FROM lcnt GROUP BY doc_id
-),
-o5 AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         array_to_string(ws[CAST(i AS INTEGER):CAST(i AS INTEGER) + 4], ' ') AS gram
-  FROM w, unnest(range(1, len(ws) - 3)) u(i)
-  WHERE tx <> '' AND len(ws) >= 5
-),
-d5 AS (
-  SELECT doc_id, gram
-  FROM (SELECT doc_id, gram, count(*) AS c FROM o5 GROUP BY 1, 2) WHERE c > 1
-),
-cov AS (
-  SELECT DISTINCT o5.doc_id, CAST(wp AS BIGINT) AS wp
-  FROM o5 JOIN d5 USING (doc_id, gram), unnest(range(pos, pos + 5)) v(wp)
-),
-wl AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS wp,
-         CAST(length(ws[CAST(i AS INTEGER)]) AS BIGINT) AS wlen
-  FROM w, unnest(range(1, len(ws) + 1)) u(i)
-  WHERE tx <> ''
-),
-cc AS (
-  SELECT cov.doc_id, CAST(sum(wlen) AS BIGINT) AS cov_chars
-  FROM cov JOIN wl USING (doc_id, wp) GROUP BY 1
-)
-SELECT base.doc_id, n_words,
-  {_sql_fix("CASE WHEN n_words > 0 THEN 1.0 - n_distinct / n_words ELSE 0.0 END")} AS dup_word_frac_e4,
-  CAST(coalesce(top2, 0) AS BIGINT) AS top_bigram_n,
-  {_sql_fix("CASE WHEN tot2 > 0 THEN top2 / tot2 ELSE 0.0 END")} AS top_bigram_share_e4,
-  {_sql_fix("CASE WHEN tot3 > 0 THEN top3 / tot3 ELSE 0.0 END")} AS top_3gram_share_e4,
-  {_sql_fix("CASE WHEN tot4 > 0 THEN top4 / tot4 ELSE 0.0 END")} AS top_4gram_share_e4,
-  CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
-  {_sql_fix("CASE WHEN n_lines > 0 THEN (n_lines - n_distinct_lines) / n_lines ELSE 0.0 END")} AS dup_line_frac_e4,
-  {_sql_fix("CASE WHEN n_word_chars > 0 THEN coalesce(cov_chars, 0) / n_word_chars ELSE 0.0 END")} AS dup_5gram_char_frac_e4
-FROM base LEFT JOIN gwide USING (doc_id) LEFT JOIN lstat USING (doc_id) LEFT JOIN cc USING (doc_id)
-""",
+        FROM documents)"""
+        ),
+        "doc_gopher_filter": _gopher_filter_sql(),
         "media_resize_plan": """
 WITH m AS (
   SELECT i AS media_id, 64 + (i % 8) * 16 AS w, 64 + (i % 4) * 16 AS h

@@ -381,3 +381,78 @@ def repetition_stats(docs: DataFrame, text: str = "text") -> DataFrame:
         fixed_point(dup_line_frac).alias("dup_line_frac_e4"),
         fixed_point(dup5_char_frac).alias("dup_5gram_char_frac_e4"),
     )
+
+
+# Gopher-rule thresholds (Rae et al. 2021 §A1.1 structure; values adapted to
+# this corpus' scale — the paper's 50-word minimum would reject the whole
+# synthetic table. All fractions are e4 fixed-point so the keep/drop decision
+# compares INTEGERS on both engines — no float-boundary divergence).
+GOPHER_DEFAULTS = {
+    "min_words": 20,
+    "max_words": 80,
+    "min_mean_word_len_e4": 30_000,  # 3.0 chars
+    "max_mean_word_len_e4": 100_000,  # 10.0 chars
+    "max_dup_word_frac_e4": 6_000,
+    "max_dup_line_frac_e4": 3_000,
+    "max_top_bigram_share_e4": 1_200,
+    "max_dup_5gram_char_frac_e4": 2_000,
+}
+
+# (rule name, e4-integer predicate builder) in FIXED order — the reasons
+# string is the comma-join of failed rules in this order on both engines
+_GOPHER_RULES = [
+    ("too_few_words", lambda s, c: s["n_words"] < c["min_words"]),
+    ("too_many_words", lambda s, c: s["n_words"] > c["max_words"]),
+    (
+        "mean_word_len",
+        lambda s, c: (s["mwl_e4"] < c["min_mean_word_len_e4"])
+        | (s["mwl_e4"] > c["max_mean_word_len_e4"]),
+    ),
+    ("dup_words", lambda s, c: s["dup_word_frac_e4"] > c["max_dup_word_frac_e4"]),
+    ("dup_lines", lambda s, c: s["dup_line_frac_e4"] > c["max_dup_line_frac_e4"]),
+    ("top_bigram", lambda s, c: s["top_bigram_share_e4"] > c["max_top_bigram_share_e4"]),
+    (
+        "dup_5grams",
+        lambda s, c: s["dup_5gram_char_frac_e4"] > c["max_dup_5gram_char_frac_e4"],
+    ),
+]
+
+
+def gopher_filter(docs: DataFrame, text: str = "text", **overrides) -> DataFrame:
+    """The curation DECISION the repetition stats exist for: apply the
+    complete Gopher rule set and emit (doc_id, n_words, keep, reasons) —
+    ``reasons`` is the comma-joined list of failed rules in fixed order
+    (empty when kept), the audit trail a production filter pass writes next
+    to its drop decisions.
+
+    Mean word length is exact integer arithmetic on the normalized text
+    (chars = length - (n_words-1), single-space normalization makes that an
+    identity); every other signal is the e4 fixed-point output of
+    ``repetition_stats``, so each threshold comparison is BIGINT vs BIGINT —
+    byte-identical decisions on Spark and the SQL twin. One extra narrow
+    join against the stats; the text column is scanned once."""
+    cfg = {**GOPHER_DEFAULTS, **overrides}
+    stats = repetition_stats(docs, text)
+    tx = norm_text(text)
+    toks = token_count(tx)
+    mwl = docs.select(
+        F.col("doc_id"),
+        F.when(
+            toks > 0, fixed_point((F.length(tx) - (toks - F.lit(1))) / toks)
+        ).otherwise(F.lit(0)).alias("mwl_e4"),
+    )
+    s = stats.join(mwl, "doc_id")
+    cols = {name: F.col(name) for name in (
+        "n_words", "dup_word_frac_e4", "dup_line_frac_e4",
+        "top_bigram_share_e4", "dup_5gram_char_frac_e4", "mwl_e4",
+    )}
+    reason_cols = [
+        F.when(pred(cols, cfg), F.lit(name)) for name, pred in _GOPHER_RULES
+    ]
+    reasons = F.concat_ws(",", *reason_cols)  # concat_ws skips NULLs
+    return s.select(
+        "doc_id",
+        "n_words",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )

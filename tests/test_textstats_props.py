@@ -206,3 +206,38 @@ def test_repetition_stats_no_false_positives(spark):
     assert r["dup_5gram_char_frac_e4"] == 0
     assert r["top_bigram_n"] == 1
     assert r["top_bigram_share_e4"] == 1667  # 1/6
+
+
+def test_gopher_filter_rules_and_reasons(spark):
+    """The curation decision: reasons list failed rules in fixed order,
+    keep ⟺ no reasons; thresholds compare e4 integers (no float edges)."""
+    from ocr_machine_spark.operators.textstats import gopher_filter
+
+    good = "alpha beta gamma delta " * 10  # 40 words, all-distinct pairs
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "tiny doc"),  # too_few_words
+            (3, "word " * 120),  # too_many_words + heavy repetition
+            (4, "aa " * 40),  # dup_words + top_bigram + dup_5grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_filter(docs).collect()}
+    # doc 1: repeated 4-word block → dup rules fire, but length rules pass
+    assert "too_few_words" not in out[1]["reasons"]
+    assert "too_many_words" not in out[1]["reasons"]
+    # 2 words, 1 bigram: length rule AND the degenerate 1/1 top-bigram share
+    assert out[2]["reasons"] == "too_few_words,top_bigram"
+    assert not out[2]["keep"]
+    assert out[3]["reasons"].startswith("too_many_words")
+    r4 = out[4]["reasons"].split(",")
+    assert r4[0] == "mean_word_len" or r4[0] == "dup_words"  # 'aa'=2 chars < 3
+    assert "dup_words" in r4 and "dup_5grams" in r4
+    # fixed rule order: reasons must be sorted by ladder position
+    order = ["too_few_words", "too_many_words", "mean_word_len", "dup_words",
+             "dup_lines", "top_bigram", "dup_5grams"]
+    for r in out.values():
+        got = [x for x in r["reasons"].split(",") if x]
+        assert got == [o for o in order if o in got]
+        assert r["keep"] == (r["reasons"] == "")
