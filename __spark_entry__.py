@@ -1083,6 +1083,46 @@ def _doc_repetition_stats(spark, sf_dir):
     return T.repetition_stats(docs.select("doc_id", injected.alias("text")))
 
 
+def _streaming_dedup_docs(spark, sf_dir):
+    """Stateful streaming exact-dedup run to completion inside the callable
+    (same driver-gating pattern as streaming_host_totals): the corpus plus a
+    deterministic duplicate drop (every 5th doc re-ingested under
+    doc_id+100000) streams through ``dedup_docs_stream``; the FINAL per-
+    fingerprint state — keeper doc_id (minimum seen) and copy count — is
+    returned as a batch frame, hash-gated against a plain GROUP BY twin.
+    Trigger-boundary independence is pinned separately by the two-drop
+    pytest."""
+    import tempfile
+
+    from ocr_machine_spark.streaming.extract_stream import dedup_docs_stream
+
+    global _STREAM_QUERY_SEQ
+    _STREAM_QUERY_SEQ += 1
+    qname = f"stream_dedup_docs_{_STREAM_QUERY_SEQ}"
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    docs.unionAll(dups).write.parquet(f"{tmp}/docs")
+    out = dedup_docs_stream(spark, f"{tmp}/docs")
+    q = out.writeStream.format("memory").queryName(qname).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # 'update' mode may emit a fp more than once across triggers; the final
+    # state row per fp is (min keeper, max copies)
+    return (
+        spark.table(qname)
+        .groupBy("fp")
+        .agg(
+            F.min("keeper_doc_id").alias("keeper_doc_id"),
+            F.max("n_copies").alias("n_copies"),
+        )
+    )
+
+
 def _doc_gopher_filter(spark, sf_dir):
     """The curation DECISION over the RAW corpus (no injection — the point
     is a non-trivial keep/drop split on natural data): complete Gopher rule
@@ -1210,8 +1250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fingerprints": _doc_winnow_fingerprints,
         "doc_stratified_sample": _doc_stratified_sample,
         # round 5: the curation decision the Gopher stats feed (complete
-        # rule ladder + reasons audit trail over the raw corpus)
+        # rule ladder + reasons audit trail over the raw corpus), and the
+        # continuous-ingest form of exact dedup (stateful streaming)
         "doc_gopher_filter": _doc_gopher_filter,
+        "streaming_dedup_docs": _streaming_dedup_docs,
     }
 
 
@@ -1806,6 +1848,17 @@ SELECT true AS parts_within_bounds, true AS supps_within_bounds
         FROM documents)"""
         ),
         "doc_gopher_filter": _gopher_filter_sql(),
+        "streaming_dedup_docs": f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+)
+SELECT md5({_norm("coalesce(text, '')")}) AS fp,
+       min(doc_id) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM u GROUP BY 1
+""",
         "media_resize_plan": """
 WITH m AS (
   SELECT i AS media_id, 64 + (i % 8) * 16 AS w, 64 + (i % 4) * 16 AS h

@@ -99,3 +99,63 @@ def windowed_page_counts(
         .groupBy(F.window("warc_ts", window).alias("w"), "lang")
         .agg(F.count("*").alias("n_pages"), F.sum(F.length("html")).alias("bytes_html"))
     )
+
+
+DEDUP_STATE_SCHEMA = "keeper long, n long"
+DEDUP_OUT_SCHEMA = "fp string, keeper_doc_id long, n_copies long"
+DOCS_STREAM_SCHEMA = "doc_id long, text string"
+
+
+def dedup_docs_stream(
+    spark: SparkSession, input_path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Stateful streaming EXACT-DEDUP (``applyInPandasWithState``): the
+    continuous-ingest form of ``operators.dedup.dedup_exact`` — as document
+    drops arrive, each content fingerprint's state tracks the surviving
+    (keeper) document and its copy count, so downstream consumers always see
+    the current dedup decision without re-scanning the corpus.
+
+    Keyed by ``md5(norm_text(text))``; state per fingerprint is two longs
+    (keeper doc_id, copies). The keeper is the MINIMUM doc_id observed so
+    far — a fold that is associative/commutative over rows, so the final
+    state depends only on the SET of files processed, never on trigger
+    boundaries (same replay-stability contract as
+    ``host_crawl_totals_stream``; pinned by a two-drop test). Output mode
+    ``update``: each trigger emits the fingerprints it touched."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ocr_machine_spark.functions import norm_text
+
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    keyed = stream.select(
+        F.md5(norm_text(F.coalesce(F.col("text"), F.lit("")))).alias("fp"), "doc_id"
+    )
+
+    def update(key: tuple, pdfs, state: GroupState):
+        keeper = None
+        n = 0
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                keeper = m if keeper is None else min(keeper, m)
+                n += len(pdf)
+        if state.exists:
+            pk, pn = state.get
+            keeper = pk if keeper is None else min(keeper, pk)
+            n += pn
+        state.update((keeper, n))
+        yield pd.DataFrame(
+            {"fp": [key[0]], "keeper_doc_id": [keeper], "n_copies": [n]}
+        )
+
+    return keyed.groupBy("fp").applyInPandasWithState(
+        update,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -286,3 +286,57 @@ def test_streaming_kill_resume_exactly_once(spark, tmp_path):
         assert run1[host] == batch[host], host
     # ...and every host is accounted for across the two runs
     assert set(run1) | set(run2) == set(batch)
+
+
+def test_streaming_dedup_trigger_boundary_independent(spark, tmp_path):
+    """Stateful streaming exact-dedup (round 5): the final per-fingerprint
+    state must equal the batch GROUP BY answer regardless of how files batch
+    into triggers. Two drops with maxFilesPerTrigger=1 force duplicates of
+    one fingerprint to arrive in DIFFERENT triggers — the state fold (min
+    keeper, summed copies) must stitch them exactly."""
+    import pandas as pd
+
+    from ocr_machine_spark.streaming.extract_stream import dedup_docs_stream
+
+    stream_dir = str(tmp_path / "docs_in")
+    import os
+
+    os.makedirs(stream_dir)
+    # drop 1: originals; drop 2: duplicates of half of them + one new doc
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": ["aa bb", "cc dd", "ee ff", "gg hh"]}
+    ).to_parquet(f"{stream_dir}/drop1.parquet")
+    pd.DataFrame(
+        {"doc_id": [11, 12, 5], "text": ["aa bb", "cc dd", "ii jj"]}
+    ).to_parquet(f"{stream_dir}/drop2.parquet")
+
+    out = dedup_docs_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_tb")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {
+        r["fp"]: (r["keeper_doc_id"], r["n_copies"])
+        for r in spark.table("dedup_tb")
+        .groupBy("fp")
+        .agg(F.min("keeper_doc_id").alias("keeper_doc_id"), F.max("n_copies").alias("n_copies"))
+        .collect()
+    }
+    batch = {
+        r["fp"]: (r["keeper_doc_id"], r["n_copies"])
+        for r in spark.read.parquet(stream_dir)
+        .groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .collect()
+    }
+    assert final == batch
+    # the cross-trigger duplicates were stitched: 5 distinct fingerprints,
+    # two of them with 2 copies kept under the ORIGINAL doc_id
+    assert len(final) == 5
+    assert sorted(v for v in final.values() if v[1] == 2) == [(1, 2), (2, 2)]
