@@ -63,18 +63,34 @@ def main(argv: list[str] | None = None) -> None:
         help="Iceberg table id (catalog.db.table); used iff an Iceberg "
         "catalog is configured on the session, else parquet under --output",
     )
+    ap.add_argument(
+        "--job",
+        choices=("extract", "curate"),
+        default="extract",
+        help="extract (default): bucket-committed incremental extraction of a "
+        "pages table; curate: Gopher quality filter + exact-dedup survivor "
+        "selection over a documents table (deterministic pure function — "
+        "idempotent via overwrite, no bucket lineage needed)",
+    )
     args = ap.parse_args(argv)
 
     from ocr_machine_spark.plans.lineage import run_extraction
     from ocr_machine_spark.session import get_spark
 
-    spark = get_spark(app=f"extract-{args.run_id}", master=args.master)
+    spark = get_spark(app=f"{args.job}-{args.run_id}", master=args.master)
     # route to the catalog only when the identifier actually resolves there:
     # a separator-free heuristic alone would send a bare relative filename
     # ('pages.parquet') to spark.table() and die with TABLE_OR_VIEW_NOT_FOUND
     looks_like_table = "/" not in args.input and "\\" not in args.input and not args.input.startswith("file:")
     is_table = looks_like_table and spark.catalog.tableExists(args.input)
     pages = spark.table(args.input) if is_table else spark.read.parquet(args.input)
+    if args.job == "curate":
+        from ocr_machine_spark.plans.curate import run_curation
+
+        stats = run_curation(spark, pages, args.output, run_id=args.run_id)
+        print(json.dumps(stats))
+        spark.stop()
+        return
     stats = run_extraction(
         spark,
         pages,

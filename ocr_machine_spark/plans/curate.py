@@ -1,0 +1,88 @@
+"""Corpus-curation plan: the production composition of the webtext passes.
+
+One declarative plan — quality gate (complete Gopher rule ladder,
+``operators.textstats.gopher_filter``) then exact-dedup survivor selection
+(min doc_id per content fingerprint, the same decision
+``streaming/extract_stream.dedup_docs_stream`` maintains continuously) —
+over a documents table. Everything is a pure deterministic function of the
+input rows: re-running produces byte-identical output on any partitioning
+or cluster size, so the job is idempotent by construction (overwrite
+semantics need no bucket lineage; contrast ``plans.lineage.run_extraction``,
+whose per-bucket commits exist for incremental/restartable EXTRACTION over
+an append-only pages lake).
+
+Text twin of the reference's post-OCR cleanup → dedupe → dataset-build
+sequence (``python_files/strikethrough_agent.py:100-127`` gates feeding
+``training_strikethrough`` dataset assembly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_machine_spark.functions import norm_text
+from ocr_machine_spark.operators.textstats import gopher_filter
+
+
+def curate_documents(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """→ (curated docs frame, per-doc decision frame).
+
+    The decision frame carries every document's audit row: the Gopher
+    ``reasons`` string, its content fingerprint, and ``survivor`` (kept by
+    quality AND the dedup keeper for its fingerprint). The curated frame is
+    the input rows restricted to survivors, with the fingerprint column
+    attached — the shape a training-data builder partitions and samples
+    from. Shuffles: one on doc_id (decision join), one on fp (survivor
+    min) — both keyed, scale-safe."""
+    decision = gopher_filter(docs)
+    fp = F.md5(norm_text(F.coalesce(F.col("text"), F.lit(""))))
+    fps = docs.select("doc_id", fp.alias("fp"))
+    d = decision.join(fps, "doc_id")
+    keepers = (
+        d.filter(F.col("keep"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"))
+    )
+    d = d.join(keepers, "fp", "left").withColumn(
+        "survivor", F.col("keep") & (F.col("doc_id") == F.col("keeper_doc_id"))
+    ).drop("keeper_doc_id")
+    curated = docs.join(
+        d.filter(F.col("survivor")).select("doc_id", "fp"), "doc_id"
+    )
+    return curated, d.select("doc_id", "n_words", "keep", "reasons", "fp", "survivor")
+
+
+def run_curation(
+    spark: SparkSession, docs: DataFrame, out_dir: str, *, run_id: str
+) -> dict:
+    """Write curated docs + decision audit table under ``out_dir``;
+    → run stats (input/kept/survivor counts and the drop-reason histogram)."""
+    curated, decision = curate_documents(docs)
+    decision.write.mode("overwrite").parquet(f"{out_dir}/decisions")
+    # read the audit table back and derive BOTH outputs from it — one
+    # computation of the (nondeterminism-free) plan, stats match the files
+    dec = spark.read.parquet(f"{out_dir}/decisions")
+    docs.join(dec.filter(F.col("survivor")).select("doc_id", "fp"), "doc_id").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/curated")
+    counts = dec.agg(
+        F.count("*").alias("docs_in"),
+        F.sum(F.col("keep").cast("long")).alias("docs_quality_kept"),
+        F.sum(F.col("survivor").cast("long")).alias("docs_curated"),
+    ).collect()[0]
+    reasons = {
+        r["reason"]: r["n"]
+        for r in dec.filter(~F.col("keep"))
+        .select(F.explode(F.split("reasons", ",")).alias("reason"))
+        .groupBy("reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    return {
+        "run_id": run_id,
+        "docs_in": counts["docs_in"],
+        "docs_quality_kept": counts["docs_quality_kept"],
+        "docs_curated": counts["docs_curated"],
+        "drop_reasons": dict(sorted(reasons.items())),
+    }

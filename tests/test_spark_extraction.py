@@ -177,3 +177,43 @@ def test_repartition_salted_spreads_duplicate_keys(spark):
         .count()
     )
     assert parts > 1, "hot key must spread across partitions"
+
+
+def test_curation_job_dedup_and_reasons(spark, tmp_path):
+    """The curate job (round 5): quality gate + exact-dedup survivor in one
+    plan. Injected duplicates of kept documents must collapse to the
+    minimum doc_id; stats must reconcile with the written tables; a re-run
+    is byte-idempotent (pure function + overwrite)."""
+    import pyspark.sql.functions as F
+
+    from ocr_machine_spark.plans.curate import run_curation
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    out = str(tmp_path / "curated")
+    s1 = run_curation(spark, docs.unionAll(dups), out, run_id="c1")
+    assert s1["docs_in"] == docs.count() + dups.count()
+    # every surviving duplicate pair collapsed: curated < quality-kept
+    assert s1["docs_curated"] < s1["docs_quality_kept"]
+    curated = spark.read.parquet(f"{out}/curated")
+    dec = spark.read.parquet(f"{out}/decisions")
+    assert curated.count() == s1["docs_curated"]
+    # survivors are the min doc_id of their fingerprint — no +100000 copy
+    # may survive when its original was kept
+    shadow = curated.filter(F.col("doc_id") >= 100000).select(
+        (F.col("doc_id") - 100000).alias("orig")
+    )
+    originals_kept = dec.filter(F.col("keep") & (F.col("doc_id") < 100000)).select(
+        F.col("doc_id").alias("orig")
+    )
+    assert shadow.join(originals_kept, "orig").count() == 0
+    # reasons histogram reconciles with per-doc decisions
+    assert sum(s1["drop_reasons"].values()) >= s1["docs_in"] - s1["docs_quality_kept"]
+    s2 = run_curation(spark, docs.unionAll(dups), out, run_id="c2")
+    assert {k: v for k, v in s2.items() if k != "run_id"} == {
+        k: v for k, v in s1.items() if k != "run_id"
+    }
