@@ -297,10 +297,15 @@ def _orchestrate() -> None:
         print(json.dumps(summary))
 
         def _window_stage_ms(r):
-            # the per-qid window stage = the 2·cores-task stage (shuffle
-            # partitions) with the smallest p50 — report its max task time
+            # the FINAL per-qid window stage = the 2·cores-task (shuffle
+            # partitions) stage with the smallest p50; in the salted variant
+            # the heavier phase-1 (qid,salt) window also has 2·cores tasks,
+            # so a max over all candidates would report the wrong stage
+            # (review fix r5) — report the final window's max task time
             cands = [s for s in r.get("task_spread", []) if s.get("tasks") == CORES * 2]
-            return max((s["max_ms"] for s in cands), default=None)
+            if not cands:
+                return None
+            return min(cands, key=lambda s: s["p50_ms"])["max_ms"]
 
         md = os.path.join(REPO, "BENCH", "BASELINE.md")
         lines = [

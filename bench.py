@@ -160,7 +160,6 @@ def main() -> None:
     times: dict[str, float] = {}
     times_cold: dict[str, float] = {}
     prov: dict[str, dict] = {}
-    n_rows: dict[str, int] = {}
     for name in HEADLINE:
         with _StealMeter() as m:
             t0 = time.perf_counter()
@@ -175,9 +174,14 @@ def main() -> None:
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).count()
                 sec = round(time.perf_counter() - t0, 3)
-            if best is None or sec < best:
+            rep_clean = m.frac < STEAL_GATE
+            # a clean rep always replaces a contaminated best — a burst can
+            # make a query LOOK faster (the work overlapped the meter
+            # differently), and publishing a contaminated time under
+            # clean=true would defeat the gate
+            if best is None or (rep_clean and not clean) or (rep_clean == clean and sec < best):
                 best, best_steal = sec, m.frac
-            if m.frac < STEAL_GATE:
+            if rep_clean:
                 clean = True
                 break
             if tries < MAX_TRIES:
@@ -185,12 +189,12 @@ def main() -> None:
                 # remaining tries inside it; wait for it to pass first
                 _wait_quiet(max_wait=120, probe=5)
         times_cold[name], times[name] = cold, best
-        n_rows[name] = n
         prov[name] = {
             "cold_steal": cold_steal,
             "steady_steal": best_steal,
             "tries": tries,
             "clean": clean,
+            "rows": n,
         }
         flag = "" if clean else " [CONTAMINATED]"
         print(
@@ -224,9 +228,10 @@ def main() -> None:
                     {"bytes_html": "sum", "chars_out": "sum", "url": "count"}
                 ).collect()[0]
                 sec = time.perf_counter() - t0
-            if best is None or sec < best[0]:
+            rep_clean = m.frac < STEAL_GATE
+            if best is None or (rep_clean and not clean) or (rep_clean == clean and sec < best[0]):
                 best = (sec, m.frac)
-            if m.frac < STEAL_GATE:
+            if rep_clean:
                 clean = True
                 break
             if tries < MAX_TRIES:

@@ -146,39 +146,34 @@ def encode_png(arr: np.ndarray) -> bytes:
         .view(np.uint8)
     )
     stride = w * bpp
+    # ENCODE-side filters have no sequential dependence (they read only RAW
+    # neighbor bytes — left, up, upper-left — never filtered output), so all
+    # five are plain vectorized numpy over the whole image; only DECODE's
+    # Sub/Average/Paeth need per-byte recurrences. Shift helpers use int16
+    # so the subtractions wrap correctly after the final uint8 cast.
+    rw = raw.astype(np.int16)  # (h, stride)
+    left = np.zeros_like(rw)
+    left[:, bpp:] = rw[:, :-bpp]
+    up = np.zeros_like(rw)
+    up[1:] = rw[:-1]
+    ul = np.zeros_like(rw)
+    ul[1:, bpp:] = rw[:-1, :-bpp]
+    # vectorized Paeth predictor
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    paeth = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+    filtered = {
+        0: rw,
+        1: rw - left,
+        2: rw - up,
+        3: rw - ((left + up) >> 1),
+        4: rw - paeth,
+    }
     out = bytearray()
-    prev = bytes(stride)
     for r in range(h):
-        line = raw[r].tobytes()
         ft = r % 5
         out.append(ft)
-        if ft == 0:
-            out += line
-        elif ft == 1:  # Sub
-            out += bytes(
-                (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF for i in range(stride)
-            )
-        elif ft == 2:  # Up
-            out += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
-        elif ft == 3:  # Average
-            out += bytes(
-                (line[i] - (((line[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)) & 0xFF
-                for i in range(stride)
-            )
-        else:  # Paeth
-            out += bytes(
-                (
-                    line[i]
-                    - _paeth(
-                        line[i - bpp] if i >= bpp else 0,
-                        prev[i],
-                        prev[i - bpp] if i >= bpp else 0,
-                    )
-                )
-                & 0xFF
-                for i in range(stride)
-            )
-        prev = line
+        out += (filtered[ft][r] & 0xFF).astype(np.uint8).tobytes()
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
     return (
         PNG_SIG
@@ -231,11 +226,17 @@ def decode_png(data: bytes) -> np.ndarray:
     bps = depth // 8
     bpp = ch * bps
     stride = w * bpp
+    expected = h * (stride + 1)
     try:
-        flat = zlib.decompress(bytes(idat))
+        # bounded inflate: the exact output size is known from IHDR, so a
+        # decompression bomb (tiny IDAT inflating to gigabytes) is rejected
+        # as the per-row data error it is instead of OOM-killing the
+        # executor BEFORE the length check could run
+        d = zlib.decompressobj()
+        flat = d.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
-    if len(flat) != h * (stride + 1):
+    if len(flat) != expected or d.unconsumed_tail:
         raise ValueError("PNG pixel data length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     buf = np.frombuffer(flat, dtype=np.uint8).reshape(h, stride + 1)

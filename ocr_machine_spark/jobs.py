@@ -87,6 +87,21 @@ def main(argv: list[str] | None = None) -> None:
     if args.job == "curate":
         from ocr_machine_spark.plans.curate import run_curation
 
+        ignored = [
+            name
+            for name, val, default in (
+                ("--buckets", args.buckets, 256),
+                ("--partitions", args.partitions, None),
+                ("--output-table", args.output_table, None),
+            )
+            if val != default
+        ]
+        if ignored:
+            print(
+                f"WARNING: {', '.join(ignored)} only apply to --job extract; "
+                "curation is a pure overwrite job and ignores them",
+                file=sys.stderr,
+            )
         stats = run_curation(spark, pages, args.output, run_id=args.run_id)
         print(json.dumps(stats))
         spark.stop()

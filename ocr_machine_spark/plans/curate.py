@@ -57,8 +57,12 @@ def run_curation(
     spark: SparkSession, docs: DataFrame, out_dir: str, *, run_id: str
 ) -> dict:
     """Write curated docs + decision audit table under ``out_dir``;
-    → run stats (input/kept/survivor counts and the drop-reason histogram)."""
-    curated, decision = curate_documents(docs)
+    → run stats (input/kept/survivor counts and the drop-reason histogram).
+
+    Dataflow: only the DECISION frame is computed from the live plan; the
+    curated table and the stats both derive from the decisions parquet read
+    back after the write, so the three outputs can never disagree."""
+    _, decision = curate_documents(docs)
     decision.write.mode("overwrite").parquet(f"{out_dir}/decisions")
     # read the audit table back and derive BOTH outputs from it — one
     # computation of the (nondeterminism-free) plan, stats match the files

@@ -165,3 +165,20 @@ def test_audio_empty_guard():
         RM.audio_features(samples, rate)
     with pytest.raises(ValueError):
         RM.decode_features(data)
+
+
+def test_png_decompression_bomb_bounded():
+    """A tiny IDAT inflating far beyond the IHDR-declared pixel size must be
+    rejected as a per-row ValueError, not balloon to its full inflated size
+    (review fix r5: unbounded zlib.decompress could OOM an executor before
+    the length check ran)."""
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # 2x2 gray8
+    bomb = (
+        RM.PNG_SIG
+        + RM._png_chunk(b"IHDR", ihdr)
+        + RM._png_chunk(b"IDAT", zlib.compress(b"\x00" * 100_000_000))
+        + RM._png_chunk(b"IEND", b"")
+    )
+    assert len(bomb) < 200_000  # the attack: small wire size
+    with pytest.raises(ValueError, match="length mismatch"):
+        RM.decode_png(bomb)
