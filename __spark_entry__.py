@@ -1123,6 +1123,26 @@ def _streaming_dedup_docs(spark, sf_dir):
     )
 
 
+# decontamination spec, shared by the Spark wrapper and the DuckDB twin:
+# the "benchmark" is derived deterministically from the corpus itself —
+# every 97th document's words 5..14 become an eval prompt — so the expected
+# contaminated set is exactly those source documents (plus any true
+# coincidental 8-gram collision, which both engines would see identically)
+DECON_BENCH_MOD, DECON_PROMPT_START, DECON_PROMPT_LEN, DECON_K = 97, 5, 10, 8
+
+
+def _doc_decontaminate(spark, sf_dir):
+    """Train/test decontamination (GPT-3 appendix C-style): flag training
+    docs sharing any word 8-gram with the benchmark prompts. Benchmark side
+    is broadcast; no shuffle of the training text."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(norm_text(F.coalesce(F.col("text"), F.lit(""))), " ")
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0).select(
+        F.array_join(F.slice(ws, DECON_PROMPT_START, DECON_PROMPT_LEN), " ").alias("text")
+    )
+    return T.benchmark_contamination(docs, bench, k=DECON_K)
+
+
 def _doc_gopher_filter(spark, sf_dir):
     """The curation DECISION over the RAW corpus (no injection — the point
     is a non-trivial keep/drop split on natural data): complete Gopher rule
@@ -1254,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # continuous-ingest form of exact dedup (stateful streaming)
         "doc_gopher_filter": _doc_gopher_filter,
         "streaming_dedup_docs": _streaming_dedup_docs,
+        "doc_decontaminate": _doc_decontaminate,
     }
 
 
@@ -1858,6 +1879,28 @@ SELECT md5({_norm("coalesce(text, '')")}) AS fp,
        min(doc_id) AS keeper_doc_id,
        CAST(count(*) AS BIGINT) AS n_copies
 FROM u GROUP BY 1
+""",
+        "doc_decontaminate": f"""
+WITH d AS (SELECT doc_id, {_norm("coalesce(text, '')")} AS tx FROM documents),
+w AS (SELECT doc_id, tx, string_split(tx, ' ') AS ws FROM d),
+bw AS (
+  SELECT string_split(array_to_string(ws[{DECON_PROMPT_START}:{DECON_PROMPT_START + DECON_PROMPT_LEN - 1}], ' '), ' ') AS bws
+  FROM w WHERE doc_id % {DECON_BENCH_MOD} = 0
+),
+bsh AS (
+  SELECT DISTINCT array_to_string(bws[CAST(i AS INTEGER):CAST(i AS INTEGER) + {DECON_K - 1}], ' ') AS sh
+  FROM bw, unnest(range(1, len(bws) - {DECON_K - 2})) u(i)
+  WHERE len(bws) >= {DECON_K}
+),
+dsh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[CAST(i AS INTEGER):CAST(i AS INTEGER) + {DECON_K - 1}], ' ') AS sh
+  FROM w, unnest(range(1, len(ws) - {DECON_K - 2})) u(i)
+  WHERE tx <> '' AND len(ws) >= {DECON_K}
+),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM dsh JOIN bsh USING (sh) GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(n_hits, 0) > 0 AS contaminated
+FROM d LEFT JOIN hits USING (doc_id)
 """,
         "media_resize_plan": """
 WITH m AS (

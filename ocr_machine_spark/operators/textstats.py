@@ -456,3 +456,50 @@ def gopher_filter(docs: DataFrame, text: str = "text", **overrides) -> DataFrame
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    *,
+    text: str = "text",
+    bench_text: str = "text",
+) -> DataFrame:
+    """Train/test DECONTAMINATION — the published pre-training hygiene pass
+    (GPT-3 appendix C / PaLM §7 style): flag every training document that
+    shares any word ``k``-gram with a benchmark/eval corpus, so evaluation
+    prompts can be excised from the training set.
+
+    Shape: both sides shingle to distinct k-grams (JVM array expressions),
+    the benchmark side — eval suites are tiny next to a 100 TB corpus — is
+    deduped and BROADCAST, so the probe is a map-side hash join over the
+    exploded training shingles: no shuffle of training data at all; the only
+    aggregation is the per-doc hit count, keyed on doc_id.
+
+    → (doc_id, n_hits, contaminated). ``n_hits`` counts the doc's DISTINCT
+    shingles that appear in the benchmark (not occurrence multiplicity), so
+    a doc repeating one leaked prompt scores the same as one containing it
+    once — the decision signal, not a frequency."""
+    d_sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(norm_text(text), k))).alias("sh"),
+    )
+    b_sh = (
+        bench.select(
+            F.explode(F.array_distinct(word_shingles(norm_text(bench_text), k))).alias("sh")
+        )
+        .distinct()
+    )
+    hits = d_sh.join(F.broadcast(b_sh), "sh").groupBy("doc_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

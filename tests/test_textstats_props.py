@@ -241,3 +241,27 @@ def test_gopher_filter_rules_and_reasons(spark):
         got = [x for x in r["reasons"].split(",") if x]
         assert got == [o for o in order if o in got]
         assert r["keep"] == (r["reasons"] == "")
+
+
+def test_benchmark_contamination_distinct_hits(spark):
+    """Decontamination: n_hits counts a doc's DISTINCT shingles present in
+    the benchmark (repetition of one leaked prompt doesn't inflate), clean
+    docs report 0/false, and sub-k benchmark prompts contribute nothing."""
+    from ocr_machine_spark.operators.textstats import benchmark_contamination
+
+    leak = "one two three four five six seven eight"  # exactly one 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {leak} outro"),
+            (2, f"{leak} mid {leak}"),  # prompt twice → still 1 distinct hit
+            (3, "totally unrelated text with many plain words here"),
+            (4, f"x {leak} y nine extra"),  # contains leak + extension grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(leak,), ("short prompt",)], "text string")
+    out = {r["doc_id"]: r for r in benchmark_contamination(docs, bench, k=8).collect()}
+    assert out[1]["n_hits"] == 1 and out[1]["contaminated"]
+    assert out[2]["n_hits"] == 1  # distinct shingles, not occurrences
+    assert out[3]["n_hits"] == 0 and not out[3]["contaminated"]
+    assert out[4]["n_hits"] == 1
