@@ -1123,6 +1123,20 @@ def _streaming_dedup_docs(spark, sf_dir):
     )
 
 
+def _doc_rarity_stats(spark, sf_dir):
+    """Corpus-relative rarity (CCNet-style filtering in exact arithmetic):
+    mean corpus term frequency + rare-word fraction per document, the corpus
+    model built inside the same plan. The fixture vocabulary is tiny (every
+    word is frequent), so — per the engine's injection convention — each doc
+    gets one unique token appended identically on both engines; the rare
+    fraction then varies with doc length instead of gating on all-zeros."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.coalesce(F.col("text"), F.lit("")), F.lit(" uniqtok"), F.col("doc_id").cast("string")
+    )
+    return T.rarity_stats(docs.select("doc_id", injected.alias("text")))
+
+
 # decontamination spec, shared by the Spark wrapper and the DuckDB twin:
 # the "benchmark" is derived deterministically from the corpus itself —
 # every 97th document's words 5..14 become an eval prompt — so the expected
@@ -1275,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_filter": _doc_gopher_filter,
         "streaming_dedup_docs": _streaming_dedup_docs,
         "doc_decontaminate": _doc_decontaminate,
+        "doc_rarity_stats": _doc_rarity_stats,
     }
 
 
@@ -1901,6 +1916,28 @@ hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM dsh JOIN bsh USI
 SELECT d.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
        coalesce(n_hits, 0) > 0 AS contaminated
 FROM d LEFT JOIN hits USING (doc_id)
+""",
+        "doc_rarity_stats": f"""
+WITH d AS (
+  SELECT doc_id,
+         {_norm("coalesce(text, '') || ' uniqtok' || CAST(doc_id AS VARCHAR)")} AS tx
+  FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(list_filter(string_split(tx, ' '), x -> x <> '')) AS w FROM d
+),
+corpus AS (SELECT w, count(*) AS cf FROM words GROUP BY w),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(cf) AS BIGINT) AS sum_cf,
+         CAST(sum(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM words JOIN corpus USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       CASE WHEN n_words > 0 THEN {_sql_fix('sum_cf / n_words')} ELSE CAST(0 AS BIGINT) END AS mean_corpus_tf_e4,
+       CASE WHEN n_words > 0 THEN {_sql_fix('n_rare / n_words')} ELSE CAST(0 AS BIGINT) END AS rare_word_frac_e4
+FROM d LEFT JOIN per_doc USING (doc_id)
 """,
         "media_resize_plan": """
 WITH m AS (

@@ -80,6 +80,11 @@ HEADLINE = [
     "doc_pii_scrub",
     "doc_repetition_stats",
     "url_canonical_dedup",
+    # round 5 late additions: the curation decision, train/test
+    # decontamination, and corpus-relative rarity — timed from day one
+    "doc_gopher_filter",
+    "doc_decontaminate",
+    "doc_rarity_stats",
 ]
 
 

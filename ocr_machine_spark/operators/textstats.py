@@ -503,3 +503,49 @@ def benchmark_contamination(
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def rarity_stats(docs: DataFrame, text: str = "text", rare_threshold: int = 2) -> DataFrame:
+    """Corpus-RELATIVE quality signals — the exact-arithmetic form of
+    CCNet-style LM filtering: how typical is each document's vocabulary of
+    the corpus it sits in? Per document: the mean corpus term-frequency of
+    its word occurrences and the fraction of occurrences whose word appears
+    at most ``rare_threshold`` times corpus-wide (OOV/noise proxy). Unlike a
+    log-prob score these are exact integer ratios (no transcendental whose
+    last-ulp varies between engines), so the fixed-point gate is stable.
+
+    Shape: one explode of word occurrences, one count aggregation keyed on
+    the word (the corpus model — built in the same plan, no driver round
+    trip), one shuffle join back on the word, one per-doc aggregation.
+    Every stage is keyed partial-agg work; nothing is collected. At 100 TB
+    the word-keyed stages are the classic skewed-key shape ('the' is a
+    mega-key) — partial aggregation collapses each map task's occurrences
+    before the shuffle, so the hot key ships one row per task, not one per
+    occurrence."""
+    tx = norm_text(text)
+    ws = F.filter(F.split(tx, " "), lambda x: x != F.lit(""))
+    words = docs.select("doc_id", F.explode(ws).alias("w"))
+    corpus = words.groupBy("w").agg(F.count("*").alias("cf"))
+    per_doc = (
+        words.join(corpus, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("cf").alias("sum_cf"),
+            F.sum((F.col("cf") <= rare_threshold).cast("long")).alias("n_rare"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+            F.when(
+                F.col("n_words") > 0, fixed_point(F.col("sum_cf") / F.col("n_words"))
+            ).otherwise(F.lit(0)).alias("mean_corpus_tf_e4"),
+            F.when(
+                F.col("n_words") > 0, fixed_point(F.col("n_rare") / F.col("n_words"))
+            ).otherwise(F.lit(0)).alias("rare_word_frac_e4"),
+        )
+    )

@@ -182,3 +182,21 @@ def test_png_decompression_bomb_bounded():
     assert len(bomb) < 200_000  # the attack: small wire size
     with pytest.raises(ValueError, match="length mismatch"):
         RM.decode_png(bomb)
+
+
+def test_png_roundtrip_property_random_arrays():
+    """Property sweep: 40 random-shaped/typed arrays (gray/rgb × 8/16-bit,
+    dims 1..40, including non-contiguous views) roundtrip exactly."""
+    rng = np.random.RandomState(11)
+    for trial in range(40):
+        h, w = int(rng.randint(1, 41)), int(rng.randint(1, 41))
+        ch = rng.choice([1, 3])
+        dt = rng.choice([np.uint8, np.uint16])
+        hi = 256 if dt == np.uint8 else 65536
+        shape = (h, w) if ch == 1 else (h, w, 3)
+        arr = rng.randint(0, hi, size=shape).astype(dt)
+        if trial % 3 == 0 and h > 1:
+            arr = arr[::2].copy() if trial % 6 == 0 else arr[::2]  # strided view too
+        back = RM.decode_png(RM.encode_png(arr))
+        assert back.dtype == arr.dtype and back.shape == arr.shape, (trial, shape, dt)
+        assert np.array_equal(back, np.ascontiguousarray(arr)), (trial, shape, dt)

@@ -265,3 +265,27 @@ def test_benchmark_contamination_distinct_hits(spark):
     assert out[2]["n_hits"] == 1  # distinct shingles, not occurrences
     assert out[3]["n_hits"] == 0 and not out[3]["contaminated"]
     assert out[4]["n_hits"] == 1
+
+
+def test_rarity_stats_hand_computed(spark):
+    """Corpus-relative rarity: mean corpus term frequency and rare-word
+    fraction against a corpus with known word frequencies."""
+    from ocr_machine_spark.operators.textstats import rarity_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common unique1"),  # common: cf=5, unique1: cf=1
+            (2, "common common common rare rare"),  # rare: cf=2
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in rarity_stats(docs, rare_threshold=2).collect()}
+    # doc1: cfs = [5, 5, 1] → mean 11/3 = 3.6667 → 36667; rare frac 1/3
+    assert out[1]["n_words"] == 3
+    assert out[1]["mean_corpus_tf_e4"] == 36667
+    assert out[1]["rare_word_frac_e4"] == 3333
+    # doc2: cfs = [5,5,5,2,2] → mean 19/5 = 3.8 → 38000; rare frac 2/5
+    assert out[2]["mean_corpus_tf_e4"] == 38000
+    assert out[2]["rare_word_frac_e4"] == 4000
+    assert out[3]["n_words"] == 0 and out[3]["mean_corpus_tf_e4"] == 0
