@@ -413,6 +413,14 @@ def _doc_winnow_fingerprints(spark, sf_dir):
     return T.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)
 
 
+def _doc_passage_overlap(spark, sf_dir):
+    """MOSS-style passage-overlap pairs from winnowing fingerprints, with
+    the hot-fingerprint document-frequency cap active (max_df=50)."""
+    return T.passage_overlap_pairs(
+        _t(spark, sf_dir, "documents"), k=3, w=4, min_shared=2, max_df=50
+    )
+
+
 def _dedup_exact_docs(spark, sf_dir):
     return D.dedup_exact(_t(spark, sf_dir, "documents"))
 
@@ -1290,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_docs": _streaming_dedup_docs,
         "doc_decontaminate": _doc_decontaminate,
         "doc_rarity_stats": _doc_rarity_stats,
+        "doc_passage_overlap": _doc_passage_overlap,
     }
 
 
@@ -1769,6 +1778,36 @@ f AS (
   FROM sh
 )
 SELECT doc_id, unnest(fps) AS fp FROM f
+""",
+        "doc_passage_overlap": f"""
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 3 THEN
+      list_transform(range(1, len(ws) - 2 + 1),
+        i -> CAST(concat('0x', substring(md5(array_to_string(list_slice(ws, i, i + 2), ' ')), 1, 15)) AS BIGINT))
+    ELSE [] END AS sh
+  FROM (SELECT doc_id, string_split({nt}, ' ') AS ws FROM documents)
+),
+f AS (
+  SELECT doc_id,
+    CASE WHEN len(sh) >= 1 THEN
+      list_distinct(list_transform(range(1, greatest(len(sh) - 3, 1) + 1),
+        i -> list_min(list_slice(sh, i, i + 3))))
+    ELSE [] END AS fps
+  FROM sh
+),
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+kept AS (
+  SELECT fp.doc_id, fp.fp
+  FROM fp JOIN (SELECT fp, count(*) AS df FROM fp GROUP BY fp) d USING (fp)
+  WHERE d.df <= 50
+),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, n_shared FROM pairs WHERE n_shared >= 2
 """,
         "dedup_exact_docs": f"""
 SELECT md5({nt}) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -549,3 +549,42 @@ def rarity_stats(docs: DataFrame, text: str = "text", rare_threshold: int = 2) -
             ).otherwise(F.lit(0)).alias("rare_word_frac_e4"),
         )
     )
+
+
+def passage_overlap_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    *,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Passage-overlap detection (the MOSS use of winnowing fingerprints,
+    Schleimer et al. SIGMOD'03 §5): pairs of documents sharing at least
+    ``min_shared`` selected fingerprints — the cheap detector for COPIED
+    PASSAGES (shared runs ≥ w+k-1 words are guaranteed to share a
+    fingerprint), sitting between exact dedup (whole-document) and MinHash
+    (whole-document similarity) in the dedup ladder.
+
+    Scale guard: a boilerplate passage shared by many documents makes its
+    fingerprint a hot join key (quadratic pairs within the bucket — the
+    same shape as an LSH mega-bucket). ``max_df`` drops fingerprints whose
+    document frequency exceeds the cap BEFORE pairing — boilerplate that
+    common is dedup-by-boilerplate-removal territory, not pairing
+    territory. One fp-keyed count, one self-equi-join on fp, one pair-keyed
+    count; no cartesian anywhere."""
+    # winnow_fingerprints emits per-doc DISTINCT fps already (array_distinct
+    # before the explode) — no extra distinct shuffle needed
+    fps = winnow_fingerprints(docs, k=k, w=w)
+    if max_df is not None:
+        df_counts = fps.groupBy("fp").agg(F.count("*").alias("df"))
+        fps = fps.join(df_counts.filter(F.col("df") <= max_df).select("fp"), "fp")
+    a = fps.select(F.col("doc_id").alias("a"), "fp")
+    b = fps.select(F.col("doc_id").alias("b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

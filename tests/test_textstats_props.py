@@ -289,3 +289,38 @@ def test_rarity_stats_hand_computed(spark):
     assert out[2]["mean_corpus_tf_e4"] == 38000
     assert out[2]["rare_word_frac_e4"] == 4000
     assert out[3]["n_words"] == 0 and out[3]["mean_corpus_tf_e4"] == 0
+
+
+def test_passage_overlap_pairs_guarantee_and_df_cap(spark):
+    """Passage-overlap pairs inherit the winnowing guarantee: two docs
+    sharing a run of >= w+k-1 words share a fingerprint, and with
+    min_shared=1 the pair must surface. The max_df cap must drop a
+    boilerplate passage shared by every doc (fp document-frequency > cap)
+    while keeping the rare shared passage."""
+    from ocr_machine_spark.operators.textstats import passage_overlap_pairs
+
+    boiler = "standard footer text appears on every page here"  # 8 words
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = w+k-1 words
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} {boiler}"),
+            (2, f"nine eight seven {shared} {boiler}"),
+            (3, f"totally unrelated content in this document {boiler}"),
+            (4, f"more unrelated filler words go here now {boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    # No cap: boilerplate links everyone to everyone (6 pairs).
+    pairs = {
+        (r["a"], r["b"])
+        for r in passage_overlap_pairs(docs, k=3, w=4, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and len(pairs) == 6
+    # Cap at df<=2: boilerplate fps (df=4) drop; only the rare passage pairs.
+    capped = {
+        (r["a"], r["b"])
+        for r in passage_overlap_pairs(
+            docs, k=3, w=4, min_shared=1, max_df=2
+        ).collect()
+    }
+    assert capped == {(1, 2)}
