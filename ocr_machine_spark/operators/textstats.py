@@ -567,23 +567,45 @@ def passage_overlap_pairs(
     (whole-document similarity) in the dedup ladder.
 
     Scale guard: a boilerplate passage shared by many documents makes its
-    fingerprint a hot join key (quadratic pairs within the bucket — the
+    fingerprint a hot pairing key (quadratic pairs within the group — the
     same shape as an LSH mega-bucket). ``max_df`` drops fingerprints whose
     document frequency exceeds the cap BEFORE pairing — boilerplate that
     common is dedup-by-boilerplate-removal territory, not pairing
-    territory. One fp-keyed count, one self-equi-join on fp, one pair-keyed
-    count; no cartesian anywhere."""
+    territory.
+
+    Plan shape: the naive formulation (df-count join + fp self-equi-join)
+    recomputes the winnowing projection — the dominant per-row cost — once
+    per branch (4× observed in the physical plan). Instead the doc list is
+    grouped per fp ONCE (``collect_list`` — bounded by ``max_df`` when
+    capped, and the list size IS the document frequency, so the cap is a
+    plain size filter, no separate count), pairs are generated in-row from
+    the sorted list (O(df²) per fp, ≤ max_df² — the same pair volume the
+    self-join would shuffle, without re-scanning the corpus), then one
+    pair-keyed count. Total: ONE winnow pass over the corpus and two
+    shuffles (fp, then (a,b)); no cartesian, no recompute. With
+    ``max_df=None`` a hot fingerprint makes its group's in-row pair array
+    quadratic — same caveat as any uncapped pairing tier; cap in
+    production."""
     # winnow_fingerprints emits per-doc DISTINCT fps already (array_distinct
     # before the explode) — no extra distinct shuffle needed
     fps = winnow_fingerprints(docs, k=k, w=w)
+    grouped = fps.groupBy("fp").agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
     if max_df is not None:
-        df_counts = fps.groupBy("fp").agg(F.count("*").alias("df"))
-        fps = fps.join(df_counts.filter(F.col("df") <= max_df).select("fp"), "fp")
-    a = fps.select(F.col("doc_id").alias("a"), "fp")
-    b = fps.select(F.col("doc_id").alias("b"), "fp")
+        grouped = grouped.filter(F.size("ds") <= max_df)
+    # all ordered pairs (ds[i], ds[j]) with i < j, generated in-row: the
+    # list is sorted, so slicing past position i keeps a < b by construction
+    pairs = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + 2, F.size("ds") - i - 1),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "fp")
-        .filter(F.col("a") < F.col("b"))
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
