@@ -421,6 +421,39 @@ def _doc_passage_overlap(spark, sf_dir):
     )
 
 
+def _doc_source_quota_sample(spark, sf_dir):
+    """Per-source quota downsampling (cap=15): every fixture source holds
+    exactly 25 docs, so the cap BINDS everywhere and the value hash
+    certifies the exact deterministic md5-rank selection, not just counts."""
+    return T.source_quota_sample(_t(spark, sf_dir, "documents"), 15).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def _doc_quality_tiers(spark, sf_dir):
+    """Corpus tiering: FineWeb/DCLM-style quality bands — the distributed
+    exact ntile (operators.ranking.ntile_global, no SinglePartition window)
+    over the quality score with doc_id tiebreak, then per-band stats.
+    NULL-quality docs (empty text) are untierable and excluded."""
+    from ocr_machine_spark.operators.ranking import ntile_global
+
+    q = (
+        T.quality_score(_t(spark, sf_dir, "documents"))
+        .filter(F.col("quality_e4").isNotNull())
+        .select("doc_id", "quality_e4")
+    )
+    return (
+        ntile_global(q, 5, ["quality_e4", "doc_id"])
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("quality_e4").alias("sum_q_e4"),
+            F.min("quality_e4").alias("min_q_e4"),
+            F.max("quality_e4").alias("max_q_e4"),
+        )
+    )
+
+
 def _dedup_exact_docs(spark, sf_dir):
     return D.dedup_exact(_t(spark, sf_dir, "documents"))
 
@@ -1308,6 +1341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": _doc_rolling_fingerprint,
         "doc_winnow_fingerprints": _doc_winnow_fingerprints,
         "doc_stratified_sample": _doc_stratified_sample,
+        # round 5 late: domain-quota downsampling + quality tiering
+        "doc_source_quota_sample": _doc_source_quota_sample,
+        "doc_quality_tiers": _doc_quality_tiers,
     }
 
 
@@ -1768,6 +1804,26 @@ FROM documents
 WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) <
   CASE lang {' '.join(f"WHEN '{s}' THEN {int(r * (1 << 60))}" for s, r in sorted(SAMPLE_RATES.items()))} ELSE 0 END
 GROUP BY lang
+""",
+        "doc_source_quota_sample": """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id
+    ) AS r
+  FROM documents
+) WHERE r <= 15
+""",
+        "doc_quality_tiers": f"""
+WITH q AS ({_quality_sql()}),
+t AS (
+  SELECT doc_id, quality_e4, ntile(5) OVER (ORDER BY quality_e4, doc_id) AS band
+  FROM q WHERE quality_e4 IS NOT NULL
+)
+SELECT band, count(*) AS n_docs, CAST(sum(quality_e4) AS BIGINT) AS sum_q_e4,
+       min(quality_e4) AS min_q_e4, max(quality_e4) AS max_q_e4
+FROM t GROUP BY band
 """,
         "doc_winnow_fingerprints": f"""
 WITH sh AS (

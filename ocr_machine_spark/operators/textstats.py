@@ -10,7 +10,7 @@ Catalyst prunes the scan to the columns used.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ocr_machine_spark.functions import fixed_point, norm_text, token_count, word_shingles
@@ -609,4 +609,31 @@ def passage_overlap_pairs(
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def source_quota_sample(
+    docs: DataFrame, cap: int, *, stratum: str = "source", key: str = "doc_id"
+) -> DataFrame:
+    """Per-domain quota downsampling — the "no host may dominate the
+    corpus" curation rule (the webtext twin of the reference's per-batch
+    size caps, ``python_files/textract_cleanup.py:61-77``): keep at most
+    ``cap`` documents per stratum, selected by the engine-portable md5 rank
+    of the key (ties broken by the key itself), so the kept set is a pure
+    function of (stratum, key, cap) — stable across runs, partitionings and
+    cluster sizes, and monotone in ``cap`` (raising the quota only ADDS
+    documents, keeping incremental corpus rebuilds superset-stable).
+
+    Scale shape: one window ``row_number() OVER (PARTITION BY stratum
+    ORDER BY h, key)`` + ``<= cap`` filter. Spark ≥3.5's
+    InferWindowGroupLimit inserts a partial per-partition top-``cap`` BELOW
+    the shuffle, so a mega-host (the exact skew this op exists to curb)
+    ships at most ``cap`` rows per upstream partition instead of its whole
+    row set — the dominant key never concentrates on one reducer."""
+    h = _md5_int60(F.col(key).cast("string"))
+    w = Window.partitionBy(stratum).orderBy(h.asc(), F.col(key).asc())
+    return (
+        docs.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= cap)
+        .drop("__r")
     )

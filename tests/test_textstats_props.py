@@ -324,3 +324,22 @@ def test_passage_overlap_pairs_guarantee_and_df_cap(spark):
         ).collect()
     }
     assert capped == {(1, 2)}
+
+
+def test_source_quota_sample_cap_monotone_and_partition_invariant(spark):
+    """The quota sample must (a) never keep more than cap per stratum,
+    (b) be monotone in cap (raising the quota only ADDS docs — superset
+    stability for incremental rebuilds), and (c) be a pure function of
+    (stratum, key, cap) — identical under any input partitioning."""
+    from ocr_machine_spark.operators.textstats import source_quota_sample
+
+    rows = [(i, f"s{i % 3}", f"text {i}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def kept(df, cap):
+        return {r["doc_id"] for r in source_quota_sample(df, cap).collect()}
+
+    k5, k9 = kept(docs, 5), kept(docs, 9)
+    assert len(k5) == 15 and len(k9) == 27  # 3 strata, cap binds (20 each)
+    assert k5 < k9  # monotone: cap=5 selection is a strict subset
+    assert kept(docs.repartition(13, "text"), 5) == k5  # layout-invariant
