@@ -454,6 +454,25 @@ def _doc_quality_tiers(spark, sf_dir):
     )
 
 
+def _doc_line_dedup(spark, sf_dir):
+    """CCNet-style cross-corpus line dedup. The corpus carries no newlines,
+    so lines are injected IN-QUERY identically on both engines (same pattern
+    as doc_repetition_stats): each doc becomes [its text, its 8-word head
+    twice (within-doc duplicate), a 5-variant shared footer (cross-doc
+    boilerplate duplicated ~n/5 times)]. The hash certifies keeper choice,
+    counts AND the reassembled text per document."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    head = F.array_join(F.slice(F.split(raw, " "), 1, REP_HEAD_WORDS), " ")
+    footer = F.concat(
+        F.lit("shared footer variant "), (F.col("doc_id") % 5).cast("string")
+    )
+    injected = F.concat(
+        raw, F.lit("\n"), head, F.lit("\n"), head, F.lit("\n"), footer
+    )
+    return T.line_dedup(docs.select("doc_id", injected.alias("text")))
+
+
 def _dedup_exact_docs(spark, sf_dir):
     return D.dedup_exact(_t(spark, sf_dir, "documents"))
 
@@ -1344,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 late: domain-quota downsampling + quality tiering
         "doc_source_quota_sample": _doc_source_quota_sample,
         "doc_quality_tiers": _doc_quality_tiers,
+        "doc_line_dedup": _doc_line_dedup,
     }
 
 
@@ -1824,6 +1844,33 @@ t AS (
 SELECT band, count(*) AS n_docs, CAST(sum(quality_e4) AS BIGINT) AS sum_q_e4,
        min(quality_e4) AS min_q_e4, max(quality_e4) AS max_q_e4
 FROM t GROUP BY band
+""",
+        "doc_line_dedup": f"""
+WITH inj AS (
+  SELECT doc_id,
+         coalesce(text, '') || chr(10) || h || chr(10) || h || chr(10) ||
+         ('shared footer variant ' || CAST(doc_id % 5 AS VARCHAR)) AS rawtext
+  FROM (SELECT doc_id, text,
+               array_to_string((string_split(coalesce(text, ''), ' '))[1:{REP_HEAD_WORDS}], ' ') AS h
+        FROM documents)
+),
+l AS (
+  SELECT doc_id, i - 1 AS pos, ls[i] AS line,
+         md5(lower(trim(ls[i]))) AS h,
+         doc_id * {T.LINE_POS_MOD} + (i - 1) AS okey
+  FROM (SELECT doc_id, string_split(rawtext, chr(10)) AS ls FROM inj),
+       unnest(range(1, len(ls) + 1)) AS u(i)
+  WHERE trim(ls[i]) <> ''
+),
+keep AS (SELECT h, min(okey) AS keep_key FROM l GROUP BY h),
+j AS (
+  SELECT l.doc_id, l.pos, l.line, (l.okey = keep.keep_key) AS kept
+  FROM l JOIN keep USING (h)
+)
+SELECT doc_id, count(*) AS n_lines,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE kept), '') AS text_dedup
+FROM j GROUP BY doc_id
 """,
         "doc_winnow_fingerprints": f"""
 WITH sh AS (

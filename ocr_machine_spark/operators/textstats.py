@@ -637,3 +637,67 @@ def source_quota_sample(
         .filter(F.col("__r") <= cap)
         .drop("__r")
     )
+
+
+# packs (doc_id, line position) into one orderable BIGINT for the keeper
+# min — cross-engine (DuckDB has no struct min); bounds documented below
+LINE_POS_MOD = 1 << 20
+
+
+def line_dedup(docs: DataFrame, text: str = "text") -> DataFrame:
+    """CCNet-style cross-corpus line deduplication (Wenzek et al., LREC 2020
+    §3.1 — "we deduplicate paragraphs" — the line-granular form of C4's
+    repeated-span removal): every distinct line (case-insensitive,
+    whitespace-trimmed hash) keeps exactly its FIRST corpus-wide occurrence
+    — minimum (doc_id, position) — and all later copies are removed; each
+    document's text is reassembled from its surviving lines in original
+    order. Blank lines are dropped outright; documents with no non-blank
+    lines produce no row. Returns (doc_id, n_lines, n_kept, text_dedup)
+    with n_lines counting the doc's non-blank lines.
+
+    This is the boilerplate killer exact whole-document dedup cannot be:
+    navigation chrome, cookie banners and shared footers repeat across
+    MILLIONS of pages whose documents are otherwise unique.
+
+    Scale shape: posexplode lines → partial-agg min(packed occurrence key)
+    per line hash — the map-side combine collapses a million-copy
+    boilerplate line to one candidate per upstream partition BEFORE the
+    shuffle — → equi-join back on the hash (keeper side is one row per
+    DISTINCT line) → per-doc reassembly (collect_list + in-row sort). Two
+    shuffles (line hash, doc_id); no window over the hot hash key anywhere.
+    The keeper branch re-parses the corpus (Catalyst materializes no CTE
+    without an explicit cache barrier) — a deliberate trade: ``min(okey)
+    OVER (PARTITION BY h)`` would parse once but has NO map-side combine,
+    shipping every copy of a hot boilerplate line to one reducer; the
+    partial-agg branch collapses them to one candidate per upstream
+    partition, and parse cost is per-row compute that scales out while a
+    skewed reducer does not. The packed key is doc_id·2^20 + pos: valid for
+    doc_id < 2^43 and < 2^20 lines per document (a >1M-line "document"
+    belongs in the too-long quality gate, not here)."""
+    raw = F.coalesce(F.col(text), F.lit(""))
+    lines = (
+        docs.select("doc_id", F.posexplode(F.split(raw, "\n")).alias("pos", "line"))
+        .filter(F.trim("line") != "")
+        .select(
+            "doc_id",
+            "pos",
+            "line",
+            F.md5(F.lower(F.trim("line"))).alias("h"),
+            (F.col("doc_id") * F.lit(LINE_POS_MOD) + F.col("pos")).alias("okey"),
+        )
+    )
+    keep = lines.groupBy("h").agg(F.min("okey").alias("keep_key"))
+    j = lines.join(keep, "h").withColumn("kept", F.col("okey") == F.col("keep_key"))
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("kept"), F.struct("pos", "line")))
+                ),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+    )

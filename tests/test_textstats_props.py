@@ -343,3 +343,25 @@ def test_source_quota_sample_cap_monotone_and_partition_invariant(spark):
     assert len(k5) == 15 and len(k9) == 27  # 3 strata, cap binds (20 each)
     assert k5 < k9  # monotone: cap=5 selection is a strict subset
     assert kept(docs.repartition(13, "text"), 5) == k5  # layout-invariant
+
+
+def test_line_dedup_keeper_and_reassembly(spark):
+    """Cross-corpus line dedup: first occurrence (min doc_id, pos) wins,
+    later copies drop (within AND across docs), blank lines vanish, and
+    the surviving text reassembles in original line order."""
+    from ocr_machine_spark.operators.textstats import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared footer\nalpha\nbeta"),  # alpha repeats in-doc
+            (2, "gamma\n\nShared Footer\ndelta"),  # blank + case-insens copy
+            (3, "shared footer"),  # only line is a later copy -> n_kept 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept"] == 3
+    assert out[1]["text_dedup"] == "alpha\nshared footer\nbeta"
+    assert out[2]["n_lines"] == 3 and out[2]["n_kept"] == 2  # blank dropped
+    assert out[2]["text_dedup"] == "gamma\ndelta"
+    assert out[3]["n_kept"] == 0 and out[3]["text_dedup"] == ""
