@@ -441,6 +441,12 @@ def _doc_quality_tiers(spark, sf_dir):
         T.quality_score(_t(spark, sf_dir, "documents"))
         .filter(F.col("quality_e4").isNotNull())
         .select("doc_id", "quality_e4")
+        # global_index makes THREE passes over its input (quantile sketch,
+        # bucket counts, final window); the quality projection is the
+        # dominant per-row cost, so materialize the 16-byte/row result once
+        # — same eager-barrier trade as ann_topk_lsh's candidate set, and
+        # global_index already runs two eager collects at build time anyway
+        .localCheckpoint(eager=True)
     )
     return (
         ntile_global(q, 5, ["quality_e4", "doc_id"])
