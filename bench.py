@@ -86,6 +86,9 @@ HEADLINE = [
     "doc_decontaminate",
     "doc_rarity_stats",
     "doc_passage_overlap",
+    "doc_line_dedup",
+    "doc_source_quota_sample",
+    "doc_quality_tiers",
 ]
 
 
