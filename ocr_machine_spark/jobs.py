@@ -72,6 +72,14 @@ def main(argv: list[str] | None = None) -> None:
         "selection over a documents table (deterministic pure function — "
         "idempotent via overwrite, no bucket lineage needed)",
     )
+    ap.add_argument(
+        "--dedup-lines",
+        action="store_true",
+        help="curate only: CCNet-ordered cross-corpus line dedup BEFORE the "
+        "quality ladder — later copies of any line are removed, text is "
+        "rewritten from surviving lines, and the curated/decision tables "
+        "gain n_lines/n_lines_kept",
+    )
     args = ap.parse_args(argv)
 
     from ocr_machine_spark.plans.lineage import run_extraction
@@ -102,7 +110,13 @@ def main(argv: list[str] | None = None) -> None:
                 "curation is a pure overwrite job and ignores them",
                 file=sys.stderr,
             )
-        stats = run_curation(spark, pages, args.output, run_id=args.run_id)
+        stats = run_curation(
+            spark,
+            pages,
+            args.output,
+            run_id=args.run_id,
+            dedup_lines=args.dedup_lines,
+        )
         print(json.dumps(stats))
         spark.stop()
         return

@@ -22,10 +22,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_machine_spark.functions import norm_text
-from ocr_machine_spark.operators.textstats import gopher_filter
+from ocr_machine_spark.operators.textstats import gopher_filter, line_dedup
 
 
-def curate_documents(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _rewrite_deduped_lines(docs: DataFrame) -> DataFrame:
+    """Replace ``text`` with its corpus-line-deduplicated rewrite and attach
+    ``n_lines``/``n_lines_kept``. Left join: a document whose every line was
+    a later duplicate (no line_dedup row) flows on with empty text so its
+    audit row survives. Pure function of the input rows — run_curation
+    relies on re-applying it producing byte-identical text."""
+    ld = line_dedup(docs).select(
+        "doc_id", "n_lines", F.col("n_kept").alias("n_lines_kept"), "text_dedup"
+    )
+    return (
+        docs.drop("text")
+        .join(ld, "doc_id", "left")
+        .withColumn("text", F.coalesce("text_dedup", F.lit("")))
+        .withColumn("n_lines", F.coalesce("n_lines", F.lit(0)))
+        .withColumn("n_lines_kept", F.coalesce("n_lines_kept", F.lit(0)))
+        .drop("text_dedup")
+    )
+
+
+def curate_documents(
+    docs: DataFrame, *, dedup_lines: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """→ (curated docs frame, per-doc decision frame).
 
     The decision frame carries every document's audit row: the Gopher
@@ -34,7 +55,19 @@ def curate_documents(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     the input rows restricted to survivors, with the fingerprint column
     attached — the shape a training-data builder partitions and samples
     from. Shuffles: one on doc_id (decision join), one on fp (survivor
-    min) — both keyed, scale-safe."""
+    min) — both keyed, scale-safe.
+
+    ``dedup_lines=True`` prepends CCNet-ordered line deduplication (dedup
+    BEFORE filtering, Wenzek et al. §3): every later copy of a line already
+    seen anywhere in the corpus is removed, the document's text rewritten
+    from its surviving lines, and the quality ladder then judges the
+    CLEANED text — so boilerplate chrome can no longer carry a page past
+    the repetition gates. The decision frame gains ``n_lines``/
+    ``n_lines_kept``; documents whose every line was a duplicate flow on
+    with empty text and fall to the quality gate (their audit row keeps
+    them visible)."""
+    if dedup_lines:
+        docs = _rewrite_deduped_lines(docs)
     decision = gopher_filter(docs)
     fp = F.md5(norm_text(F.coalesce(F.col("text"), F.lit(""))))
     fps = docs.select("doc_id", fp.alias("fp"))
@@ -50,11 +83,20 @@ def curate_documents(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     curated = docs.join(
         d.filter(F.col("survivor")).select("doc_id", "fp"), "doc_id"
     )
-    return curated, d.select("doc_id", "n_words", "keep", "reasons", "fp", "survivor")
+    audit_cols = ["doc_id", "n_words", "keep", "reasons", "fp", "survivor"]
+    if dedup_lines:
+        d = d.join(docs.select("doc_id", "n_lines", "n_lines_kept"), "doc_id")
+        audit_cols += ["n_lines", "n_lines_kept"]
+    return curated, d.select(*audit_cols)
 
 
 def run_curation(
-    spark: SparkSession, docs: DataFrame, out_dir: str, *, run_id: str
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    run_id: str,
+    dedup_lines: bool = False,
 ) -> dict:
     """Write curated docs + decision audit table under ``out_dir``;
     → run stats (input/kept/survivor counts and the drop-reason histogram).
@@ -62,11 +104,16 @@ def run_curation(
     Dataflow: only the DECISION frame is computed from the live plan; the
     curated table and the stats both derive from the decisions parquet read
     back after the write, so the three outputs can never disagree."""
-    _, decision = curate_documents(docs)
+    _, decision = curate_documents(docs, dedup_lines=dedup_lines)
     decision.write.mode("overwrite").parquet(f"{out_dir}/decisions")
     # read the audit table back and derive BOTH outputs from it — one
     # computation of the (nondeterminism-free) plan, stats match the files
     dec = spark.read.parquet(f"{out_dir}/decisions")
+    if dedup_lines:
+        # the curated table must carry the CLEANED text; the rewrite is a
+        # pure function of the input, so re-applying it here agrees with
+        # the decisions computed from it above
+        docs = _rewrite_deduped_lines(docs)
     docs.join(dec.filter(F.col("survivor")).select("doc_id", "fp"), "doc_id").write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/curated")
@@ -83,10 +130,17 @@ def run_curation(
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    return {
+    stats = {
         "run_id": run_id,
         "docs_in": counts["docs_in"],
         "docs_quality_kept": counts["docs_quality_kept"],
         "docs_curated": counts["docs_curated"],
         "drop_reasons": dict(sorted(reasons.items())),
     }
+    if dedup_lines:
+        lc = dec.agg(
+            F.sum("n_lines").alias("li"), F.sum("n_lines_kept").alias("lk")
+        ).collect()[0]
+        stats["lines_in"] = int(lc["li"] or 0)
+        stats["lines_kept"] = int(lc["lk"] or 0)
+    return stats

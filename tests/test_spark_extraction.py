@@ -217,3 +217,36 @@ def test_curation_job_dedup_and_reasons(spark, tmp_path):
     assert {k: v for k, v in s2.items() if k != "run_id"} == {
         k: v for k, v in s1.items() if k != "run_id"
     }
+
+
+def test_curation_job_line_dedup_stage(spark, tmp_path):
+    """--dedup-lines (round 5 late): cross-corpus line dedup runs BEFORE the
+    quality ladder (CCNet order). A boilerplate footer pasted onto every
+    document must survive only in the first doc's curated text; the written
+    curated table carries the CLEANED text; stats reconcile and a re-run is
+    idempotent."""
+    import pyspark.sql.functions as F
+
+    from ocr_machine_spark.plans.curate import run_curation
+
+    base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    footer = "subscribe to our newsletter for updates"
+    docs = base.select(
+        "doc_id", F.concat_ws("\n", "text", F.lit(footer)).alias("text")
+    )
+    out = str(tmp_path / "curated_ld")
+    s1 = run_curation(spark, docs, out, run_id="l1", dedup_lines=True)
+    n = docs.count()
+    assert s1["lines_in"] == 2 * n  # text line + footer line, none blank
+    assert s1["lines_kept"] == n + 1  # footer survives exactly once
+    curated = spark.read.parquet(f"{out}/curated")
+    with_footer = curated.filter(F.col("text").contains(footer))
+    assert with_footer.count() <= 1  # only the corpus-first doc may keep it
+    # cleaned text is what was judged AND what was written
+    assert curated.filter(F.col("text").endswith(footer)).count() <= 1
+    s2 = run_curation(spark, docs, out, run_id="l2", dedup_lines=True)
+    assert {k: v for k, v in s2.items() if k != "run_id"} == {
+        k: v for k, v in s1.items() if k != "run_id"
+    }
