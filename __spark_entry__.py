@@ -479,6 +479,33 @@ def _doc_line_dedup(spark, sf_dir):
     return T.line_dedup(docs.select("doc_id", injected.alias("text")))
 
 
+def _doc_domain_stats(spark, sf_dir):
+    """Domain-level spam gate (operators.urls.domain_stats) over
+    deterministically synthesized crawl URLs: 30% of docs land on one
+    boilerplate farm whose body is a single repeated string (within-host
+    dup_frac → ~1 ⇒ spam), the rest spread over seven hosts; scheme-case /
+    WWW. / :port variants exercise host extraction, and one clean host is
+    blocklisted. The hash certifies host parsing, the exact distinct
+    arithmetic, and both spam verdicts."""
+    from ocr_machine_spark.operators.urls import domain_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    is_farm = (F.col("doc_id") % 10) < 3
+    hostraw = F.when(is_farm, F.lit("SpamFarm.example")).otherwise(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.org"))
+    )
+    prefix = F.when(F.col("doc_id") % 5 == 0, F.lit("https://WWW.")).otherwise(
+        F.lit("https://")
+    )
+    port = F.when(F.col("doc_id") % 11 == 0, F.lit(":8080")).otherwise(F.lit(""))
+    url = F.concat(prefix, hostraw, port, F.lit("/p/"), F.col("doc_id").cast("string"))
+    text = F.when(is_farm, F.lit(FARM_TEXT)).otherwise(F.col("text"))
+    return domain_stats(
+        docs.select(url.alias("url"), text.alias("text")),
+        blocklist=("h3.example.org",),
+    )
+
+
 def _dedup_exact_docs(spark, sf_dir):
     return D.dedup_exact(_t(spark, sf_dir, "documents"))
 
@@ -1135,6 +1162,7 @@ def _doc_pii_scrub(spark, sf_dir):
 # and nonzero top-n-gram shares — every new Gopher column gets a non-
 # degenerate gate instead of an all-zeros one.
 REP_HEAD_WORDS = 8
+FARM_TEXT = "buy cheap widgets now best prices"
 
 
 def _doc_repetition_stats(spark, sf_dir):
@@ -1370,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_quota_sample": _doc_source_quota_sample,
         "doc_quality_tiers": _doc_quality_tiers,
         "doc_line_dedup": _doc_line_dedup,
+        "doc_domain_stats": _doc_domain_stats,
     }
 
 
@@ -1877,6 +1906,36 @@ SELECT doc_id, count(*) AS n_lines,
        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE kept), '') AS text_dedup
 FROM j GROUP BY doc_id
+""",
+        "doc_domain_stats": f"""
+WITH d AS (
+  SELECT (CASE WHEN doc_id % 5 = 0 THEN 'https://WWW.' ELSE 'https://' END)
+      || (CASE WHEN doc_id % 10 < 3 THEN 'SpamFarm.example'
+               ELSE 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' END)
+      || (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+      || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+    CASE WHEN doc_id % 10 < 3 THEN '{FARM_TEXT}' ELSE text END AS text
+  FROM documents
+),
+p AS (
+  SELECT regexp_replace(regexp_replace(
+           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
+           ':[0-9]+\\z', ''), '^www\\.', '') AS host,
+    md5({_norm("coalesce(text, '')")}) AS fp,
+    {_sql_toks(_norm("coalesce(text, '')"))} AS nw
+  FROM d
+),
+g AS (
+  SELECT host, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_distinct_text,
+         CAST(SUM(nw) AS BIGINT) AS sum_words
+  FROM p GROUP BY host
+)
+SELECT host, n_docs, n_distinct_text,
+  {_sql_fix('(n_docs - n_distinct_text) / n_docs')} AS dup_frac_e4,
+  {_sql_fix('sum_words / n_docs')} AS mean_words_e4,
+  ({_sql_fix('(n_docs - n_distinct_text) / n_docs')} >= 3000
+    OR host = 'h3.example.org') AS spam
+FROM g
 """,
         "doc_winnow_fingerprints": f"""
 WITH sh AS (

@@ -19,10 +19,15 @@ Canonicalization spec (documented order — the twin must match exactly):
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ocr_machine_spark.functions import fixed_point, norm_text, token_count
+
 _SCHEME_HOST_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)"
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
 TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
 
 
@@ -59,4 +64,63 @@ def canonical_url_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
         df.select(canonical_url(F.col(url_col)).alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(F.count("*").alias("n_variants"))
+    )
+
+
+def host_of(url: Column) -> Column:
+    """Registrable host key of a URL: the authority lowercased, with any
+    ``:port`` suffix and one leading ``www.`` stripped (userinfo, rare in
+    crawl data, is deliberately left in place and documented — a spec the
+    DuckDB twin reproduces verbatim). Malformed URLs with no
+    ``scheme://`` produce the empty string, which groups them into one
+    visible junk bucket rather than dropping rows."""
+    h = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    # \z (absolute end), same cross-engine rationale as canonical_url
+    return F.regexp_replace(F.regexp_replace(h, r":[0-9]+\z", ""), r"^www\.", "")
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    *,
+    dup_frac_max_e4: int = 3000,
+    blocklist: Sequence[str] = (),
+) -> DataFrame:
+    """Per-host curation signals + spam flag — the domain-level quality gate
+    a web corpus needs before document-level filtering (RefinedWeb §3.1 runs
+    URL/domain filtering FIRST; the reference's per-document flow has no
+    corpus-level stage, this is the Spark-native extension).
+
+    → (host, n_docs, n_distinct_text, dup_frac_e4, mean_words_e4, spam):
+    within-host exact-duplicate fraction (boilerplate farms repeat one body
+    under thousands of URLs), mean document length, and a spam verdict =
+    dup_frac ≥ threshold OR host ∈ blocklist. Thresholds compare e4 BIGINTs
+    (engine-parity convention), the blocklist is an ``isin`` literal (tiny,
+    stays an in-filter — no join).
+
+    Scale shape: one shuffle keyed on host. The distinct-count expands to a
+    partial aggregate on (host, fp) first, so a mega-host's rows combine
+    map-side before the exchange; no driver-side collection anywhere."""
+    per_doc = df.select(
+        host_of(F.col(url_col)).alias("host"),
+        F.md5(norm_text(F.coalesce(F.col(text_col), F.lit("")))).alias("fp"),
+        token_count(norm_text(F.coalesce(F.col(text_col), F.lit("")))).alias("nw"),
+    )
+    g = per_doc.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("fp").alias("n_distinct_text"),
+        F.sum("nw").alias("sum_words"),
+    )
+    dup = fixed_point((F.col("n_docs") - F.col("n_distinct_text")) / F.col("n_docs"))
+    spam = dup >= F.lit(dup_frac_max_e4)
+    if blocklist:
+        spam = spam | F.col("host").isin(*blocklist)
+    return g.select(
+        "host",
+        "n_docs",
+        "n_distinct_text",
+        dup.alias("dup_frac_e4"),
+        fixed_point(F.col("sum_words") / F.col("n_docs")).alias("mean_words_e4"),
+        spam.alias("spam"),
     )

@@ -176,3 +176,42 @@ def test_canonical_url_spec(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r[0] for r in df.select(canonical_url(F.col("u"))).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_host_of_and_domain_stats(spark):
+    """host_of spec cases (case-fold, port strip, one www. strip, junk →
+    empty bucket) and domain_stats semantics: within-host dup fraction in
+    exact e4, spam via threshold and via blocklist."""
+    import pyspark.sql.functions as F
+
+    from ocr_machine_spark.operators.urls import domain_stats, host_of
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:8080/Path", "example.com"),
+        ("https://www.www.a.org/x", "www.a.org"),  # exactly ONE www. strip
+        ("ftp://Host.Net", "host.net"),
+        ("no scheme here", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r[0] for r in df.select(host_of(F.col("u"))).collect()]
+    assert got == [want for _, want in cases]
+
+    rows = [
+        # farm.example: 4 docs, one distinct body -> dup_frac 0.75 >= 0.3
+        *[(f"https://farm.example/{i}", "same body") for i in range(4)],
+        # clean.example: 2 docs, distinct bodies -> dup_frac 0
+        ("https://clean.example/a", "alpha text"),
+        ("https://clean.example/b", "beta text"),
+        # blocked.example: clean stats but blocklisted
+        ("https://blocked.example/a", "gamma text"),
+    ]
+    d = spark.createDataFrame(rows, "url string, text string")
+    out = {r["host"]: r.asDict() for r in domain_stats(
+        d, blocklist=("blocked.example",)).collect()}
+    assert out["farm.example"]["dup_frac_e4"] == 7500
+    assert out["farm.example"]["spam"] is True
+    assert out["clean.example"]["dup_frac_e4"] == 0
+    assert out["clean.example"]["spam"] is False
+    assert out["clean.example"]["n_distinct_text"] == 2
+    assert out["blocked.example"]["spam"] is True
+    assert out["blocked.example"]["dup_frac_e4"] == 0
