@@ -1,14 +1,15 @@
 """Pure-stdlib+numpy codecs for public media formats.
 
-Round-4 replacement of the multimodal fake-feature stub (VERDICT r3 #2), and
-round 5 adds the first COMPRESSED codec: the container ships no PIL/libav,
-but four REAL public formats need neither — BMP (24-bit BI_RGB, the Windows
+Round-4 replacement of the multimodal fake-feature stub (VERDICT r3 #2);
+round 5 adds the two COMPRESSED codecs: the container ships no PIL/libav,
+but five REAL public formats need neither — BMP (24-bit BI_RGB, the Windows
 bitmap spec), PNG (ISO/IEC 15948: stdlib zlib inflate + the five scanline
-filters; grayscale/truecolor at bit depths 8/16), WAV (RIFF PCM16, via the
-stdlib ``wave`` module) and Y4M (YUV4MPEG2 4:2:0, mjpegtools' uncompressed
-video interchange format). Everything here is byte-level encode/decode plus
-deterministic feature math — the semantic twin of the reference's
-decode→resize→normalize tensor path
+filters; grayscale/truecolor at bit depths 8/16), JPEG (ITU-T T.81 baseline
+sequential: Huffman entropy coding + DCT, 4:4:4 gray/color), WAV (RIFF
+PCM16, via the stdlib ``wave`` module) and Y4M (YUV4MPEG2 4:2:0,
+mjpegtools' uncompressed video interchange format). Everything here is
+byte-level encode/decode plus deterministic feature math — the semantic
+twin of the reference's decode→resize→normalize tensor path
 (``training_strikethrough/training_inference_scripts/model_training_pipeline.py:18-45``).
 
 Determinism rules (the engine-wide contract):
@@ -32,7 +33,7 @@ FEATURE_DIM = 32
 
 class UnrecognizedContainerError(ValueError):
     """Magic-byte sniff matched NO supported container — the payload would
-    need a codec this environment doesn't ship (JPEG/MP3/H.264 …). Distinct
+    need a codec this environment doesn't ship (WebP/MP3/H.264 …). Distinct
     from a plain ValueError, which after a successful sniff means the payload
     IS a supported container but corrupt or an unsupported profile — callers
     in strict mode report the former as a missing-dependency boundary
@@ -277,6 +278,473 @@ def decode_png(data: bytes) -> np.ndarray:
     return samples[:, :, 0] if ch == 1 else samples
 
 
+# ---------------------------------------------------------------------------
+# JPEG — ITU-T T.81 baseline sequential DCT (SOF0), pure stdlib+numpy: the
+# round-5 second compressed codec, and THE web image format. Supported
+# profile: 8-bit precision, 1 (grayscale) or 3 (YCbCr 4:4:4) components,
+# sampling factors all 1×1, one scan, no restart intervals. Progressive
+# (SOF2), subsampled, arithmetic-coded and DRI streams raise ValueError with
+# the unsupported feature named — data-profile boundaries, not missing
+# dependencies. Reference raster twin:
+# training_strikethrough/training_inference_scripts/model_training_pipeline.py:18-45.
+#
+# Encoder determinism contract: with the DC quant step at 8, a source whose
+# every 8×8 block is FLAT roundtrips byte-exactly (FDCT of a flat block is a
+# lone DC coefficient 8·(s−128); quantized by 8 it is s−128 with zero loss),
+# so the closed-form asset factory can golden-gate JPEG rows the same way as
+# the lossless formats.
+# ---------------------------------------------------------------------------
+
+JPEG_SOI = b"\xff\xd8"
+
+
+def _jpeg_zigzag() -> np.ndarray:
+    """Flat (row-major) index of each zigzag position, per T.81 figure 5:
+    diagonals r+c ascending; even diagonals walk up-right (r descending),
+    odd ones down-left."""
+    order = []
+    for s in range(15):
+        cells = [(r, s - r) for r in range(8) if 0 <= s - r < 8]
+        if s % 2 == 0:
+            cells.reverse()
+        order += [r * 8 + c for r, c in cells]
+    return np.array(order, dtype=np.int64)
+
+
+ZIGZAG = _jpeg_zigzag()
+
+# quant table: DC step 8 (the flat-block exactness contract above), AC 16
+JPEG_QUANT = np.full((8, 8), 16, dtype=np.int32)
+JPEG_QUANT[0, 0] = 8
+
+# Huffman spec pairs (BITS per code length 1..16, then symbol values in code
+# order) — T.81 Annex K.3 luminance tables. The stream is self-describing
+# (DHT carries the table), so the decoder never assumes these.
+JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+JPEG_DC_VALS = tuple(range(12))
+JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+JPEG_AC_VALS = tuple(
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA]
+)
+
+_DCT_M: np.ndarray | None = None
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix M: S = M·X·Mᵀ is exactly T.81's
+    FDCT (the 1/4·C(u)·C(v) scaling folded into the rows), and the IDCT is
+    X = Mᵀ·S·M."""
+    global _DCT_M
+    if _DCT_M is None:
+        u = np.arange(8, dtype=np.float64)[:, None]
+        i = np.arange(8, dtype=np.float64)[None, :]
+        m = 0.5 * np.cos((2 * i + 1) * u * np.pi / 16)
+        m[0, :] *= 1.0 / np.sqrt(2.0)
+        _DCT_M = m
+    return _DCT_M
+
+
+def _huff_spec_to_codes(bits, vals) -> dict:
+    """(BITS, HUFFVAL) → {symbol: (code, length)} by T.81 C.2 canonical
+    assignment (codes increment within a length, shift left across)."""
+    codes: dict = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """MSB-first bit packer with 0xFF byte stuffing and 1-padding flush."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.acc = self.nbits = 0
+        return bytes(self.buf)
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> list[np.ndarray]:
+    r, g, b = (arr[..., k].astype(np.float64) for k in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)]
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def _plane_to_zigzag_blocks(plane: np.ndarray) -> np.ndarray:
+    """(h, w) uint8, dims already padded to ×8 → (n_blocks, 64) int64
+    quantized coefficients in zigzag order, blocks raster-ordered. FDCT is
+    one einsum over all blocks (vectorized; the entropy coder is the only
+    per-block Python)."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    m = _dct_matrix()
+    s = np.einsum("ui,nij,vj->nuv", m, blocks, m)
+    d = np.round(s / JPEG_QUANT).astype(np.int64)
+    return d.reshape(-1, 64)[:, ZIGZAG]
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, prev_dc: int, dc_codes: dict, ac_codes: dict) -> int:
+    diff = int(zz[0]) - prev_dc
+    cat = abs(diff).bit_length()
+    c, ln = dc_codes[cat]
+    bw.write(c, ln)
+    if cat:
+        bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    run = 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+            bw.write(c, ln)
+            run -= 16
+        cat = abs(v).bit_length()
+        c, ln = ac_codes[(run << 4) | cat]
+        bw.write(c, ln)
+        bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if last < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.write(c, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(arr: np.ndarray) -> bytes:
+    """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB → baseline JPEG bytes
+    (one quant table, one DC + one AC Huffman table shared by all
+    components, 4:4:4, single interleaved scan). Non-×8 dims are padded by
+    edge replication; the decoder crops back to the SOF dims."""
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg needs uint8 input")
+    if arr.ndim == 2:
+        planes = [arr]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        planes = _rgb_to_ycbcr(arr)
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape} for JPEG")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ph, pw = (-h) % 8, (-w) % 8
+    comps = [np.pad(p, ((0, ph), (0, pw)), mode="edge") for p in planes]
+    zz_per_comp = [_plane_to_zigzag_blocks(p) for p in comps]
+
+    out = bytearray(JPEG_SOI)
+    zzq = JPEG_QUANT.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00) + zzq
+    ncomp = len(comps)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += struct.pack(">BBB", cid, 0x11, 0)  # 1×1 sampling, quant 0
+    for tc, bits, vals in ((0x00, JPEG_DC_BITS, JPEG_DC_VALS), (0x10, JPEG_AC_BITS, JPEG_AC_VALS)):
+        out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), tc)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += struct.pack(">BB", cid, 0x00)
+    out += struct.pack(">BBB", 0, 63, 0)
+
+    dc_codes = _huff_spec_to_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_codes = _huff_spec_to_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = [0] * ncomp
+    n_blocks = zz_per_comp[0].shape[0]
+    for b in range(n_blocks):
+        for c in range(ncomp):
+            prev_dc[c] = _encode_block(bw, zz_per_comp[c][b], prev_dc[c], dc_codes, ac_codes)
+    out += bw.flush() + b"\xff\xd9"
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over unstuffed entropy bytes."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy data")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_spec_to_decode_map(bits, vals) -> dict:
+    m: dict = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            m[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return m
+
+
+def _read_sym(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _decode_block(br: _BitReader, dcmap: dict, acmap: dict) -> tuple[int, np.ndarray]:
+    zz = np.zeros(64, dtype=np.int64)
+    cat = _read_sym(br, dcmap)
+    diff = _extend(br.bits(cat), cat) if cat else 0
+    k = 1
+    while k < 64:
+        sym = _read_sym(br, acmap)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        cat = sym & 0x0F
+        if k > 63 or cat == 0:
+            raise ValueError("corrupt JPEG entropy data (AC run overflow)")
+        zz[k] = _extend(br.bits(cat), cat)
+        k += 1
+    return diff, zz
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (h, w) uint8 gray or (h, w, 3) uint8 RGB.
+
+    Supports the baseline sequential profile (SOF0, 8-bit, 1 or 3
+    components, all sampling factors 1×1, single scan); streams outside it —
+    progressive SOF2, subsampling, restart intervals, 12-bit — raise
+    ValueError naming the unsupported feature. The stream's own DQT/DHT
+    tables drive dequantization and entropy decode (nothing assumes the
+    encoder above). IDCT is one einsum over all blocks."""
+    if data[:2] != JPEG_SOI:
+        raise UnrecognizedContainerError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    scan = None
+    try:
+        while True:
+            if data[pos] != 0xFF:
+                raise ValueError("JPEG marker sync lost")
+            marker = data[pos + 1]
+            pos += 2
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker == 0xD9:
+                raise ValueError("JPEG ended before scan data (no SOS)")
+            (seglen,) = struct.unpack_from(">H", data, pos)
+            seg = bytes(data[pos + 2 : pos + seglen])
+            if len(seg) != seglen - 2:
+                raise ValueError("truncated JPEG segment")
+            pos += seglen
+            if marker == 0xDB:  # DQT: one or more tables per segment
+                o = 0
+                while o < len(seg):
+                    pq, tq = seg[o] >> 4, seg[o] & 0x0F
+                    o += 1
+                    if pq:  # 16-bit entries
+                        vals = np.frombuffer(seg, dtype=">u2", count=64, offset=o).astype(np.int64)
+                        o += 128
+                    else:
+                        vals = np.frombuffer(seg, dtype=np.uint8, count=64, offset=o).astype(np.int64)
+                        o += 64
+                    nat = np.zeros(64, dtype=np.int64)
+                    nat[ZIGZAG] = vals
+                    qtables[tq] = nat.reshape(8, 8)
+            elif marker == 0xC4:  # DHT: one or more tables per segment
+                o = 0
+                while o < len(seg):
+                    tc, th = seg[o] >> 4, seg[o] & 0x0F
+                    bits = tuple(seg[o + 1 : o + 17])
+                    nvals = sum(bits)
+                    vals = tuple(seg[o + 17 : o + 17 + nvals])
+                    if len(vals) != nvals:
+                        raise ValueError("truncated JPEG DHT")
+                    huff[(tc, th)] = _huff_spec_to_decode_map(bits, vals)
+                    o += 17 + nvals
+            elif marker == 0xC0:  # SOF0 baseline
+                prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+                if prec != 8:
+                    raise ValueError(f"unsupported JPEG precision {prec} (baseline is 8-bit)")
+                comps = []
+                for c in range(nc):
+                    cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                    if samp != 0x11:
+                        raise ValueError(
+                            "unsupported JPEG feature: chroma subsampling "
+                            f"(sampling factor 0x{samp:02x}; 4:4:4 only)"
+                        )
+                    comps.append((cid, tq))
+                if nc not in (1, 3):
+                    raise ValueError(f"unsupported JPEG component count {nc}")
+                sof = (h, w, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                kind = {0xC2: "progressive"}.get(marker, f"SOF{marker - 0xC0}")
+                raise ValueError(f"unsupported JPEG coding process: {kind} (baseline SOF0 only)")
+            elif marker == 0xDD:
+                raise ValueError("unsupported JPEG feature: restart intervals (DRI)")
+            elif marker == 0xDA:  # SOS
+                ns = seg[0]
+                scan = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F) for c in range(ns)]
+                break
+            # else: APPn / COM — skipped
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated JPEG stream: {exc}") from exc
+    if sof is None:
+        raise ValueError("JPEG scan before SOF0 header")
+    h, w, comps = sof
+    if len(scan) != len(comps):
+        raise ValueError("JPEG scan/frame component mismatch")
+
+    # unstuff entropy bytes up to the next marker
+    body = bytearray()
+    n = len(data)
+    while pos < n - 1:
+        b = data[pos]
+        if b == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00:
+                body.append(0xFF)
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                raise ValueError("unsupported JPEG feature: restart markers")
+            break
+        body.append(b)
+        pos += 1
+
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    n_blocks = bw_ * bh_
+    br = _BitReader(bytes(body))
+    comp_q = []
+    comp_maps = []
+    for (cid, tq), (scid, td, ta) in zip(comps, scan):
+        if scid != cid:
+            raise ValueError("JPEG scan component order mismatch")
+        if tq not in qtables or (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("JPEG references undefined quant/huffman table")
+        comp_q.append(qtables[tq])
+        comp_maps.append((huff[(0, td)], huff[(1, ta)]))
+    zz_out = [np.zeros((n_blocks, 64), dtype=np.int64) for _ in comps]
+    prev_dc = [0] * len(comps)
+    for blk in range(n_blocks):
+        for c in range(len(comps)):
+            diff, zz = _decode_block(br, *comp_maps[c])
+            prev_dc[c] += diff
+            zz[0] = prev_dc[c]
+            zz_out[c][blk] = zz
+
+    m = _dct_matrix()
+    planes = []
+    for c, zz in enumerate(zz_out):
+        nat = np.zeros((n_blocks, 64), dtype=np.float64)
+        nat[:, ZIGZAG] = zz.astype(np.float64)
+        coefs = nat.reshape(-1, 8, 8) * comp_q[c]
+        pix = np.einsum("ui,nuv,vj->nij", m, coefs, m) + 128.0
+        plane = (
+            pix.reshape(bh_, bw_, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_ * 8, bw_ * 8)[:h, :w]
+        )
+        planes.append(np.clip(np.round(plane), 0, 255).astype(np.uint8))
+    if len(planes) == 1:
+        return planes[0]
+    return _ycbcr_to_rgb(*planes)
+
+
 def to_rgb8(arr: np.ndarray) -> np.ndarray:
     """Native decoded image (gray/rgb, 8/16-bit) → (h, w, 3) uint8 RGB — the
     canonical feature-space view (16-bit high byte; gray broadcast to 3
@@ -291,23 +759,29 @@ def to_rgb8(arr: np.ndarray) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> tuple[np.ndarray, str]:
-    """Sniff BMP vs PNG, decode → (native array, container tag). Containers
-    outside {BMP, PNG} raise UnrecognizedContainerError (a compressed codec
-    beyond zlib would be required: JPEG/WebP/…)."""
+    """Sniff BMP vs PNG vs JPEG, decode → (native array, container tag).
+    Containers outside {BMP, PNG, JPEG} raise UnrecognizedContainerError (a
+    codec this environment doesn't ship: WebP/AVIF/…)."""
     if data[:2] == b"BM":
         return decode_bmp(data), "bmp"
     if data[:8] == PNG_SIG:
         return decode_png(data), "png"
-    raise UnrecognizedContainerError("unrecognized image container (not BMP/PNG)")
+    if data[:2] == JPEG_SOI:
+        return decode_jpeg(data), "jpeg"
+    raise UnrecognizedContainerError("unrecognized image container (not BMP/PNG/JPEG)")
 
 
 def encode_image(arr: np.ndarray, container: str) -> bytes:
     """Inverse of ``decode_image``: re-encode a native array in the SAME
-    container (and, for PNG, the same color type/bit depth the array carries)."""
+    container (and, for PNG, the same color type/bit depth the array carries).
+    JPEG is lossy in general — re-encode roundtrips exactly only for the
+    flat-block content family (see the JPEG section header)."""
     if container == "bmp":
         return encode_bmp(arr)
     if container == "png":
         return encode_png(arr)
+    if container == "jpeg":
+        return encode_jpeg(arr)
     raise ValueError(f"unknown image container {container!r}")
 
 
@@ -416,23 +890,48 @@ def kind_of(i: int) -> str:
     return ["image", "audio", "video"][i % 3]
 
 
-# image assets alternate container: BMP (i % 6 == 0) / PNG (i % 6 == 3); PNG
-# assets cycle the four supported profiles so every (color type, bit depth)
-# combination is golden-gated
+# image assets cycle containers: the i % 6 == 0 slot alternates BMP / JPEG
+# by (i//6) parity, i % 6 == 3 stays PNG; PNG assets cycle the four
+# supported profiles so every (color type, bit depth) combination is
+# golden-gated, JPEG assets alternate grayscale / 3-component
 PNG_VARIANTS = ("gray8", "rgb8", "gray16", "rgb16")
+JPEG_VARIANTS = ("gray", "ycc")
 
 
 def image_container(i: int) -> str:
-    return "png" if i % 6 == 3 else "bmp"
+    if i % 6 == 3:
+        return "png"
+    return "jpeg" if (i // 6) % 2 else "bmp"
+
+
+def jpeg_block_array(i: int) -> np.ndarray:
+    """JPEG asset content: FLAT 8×8 blocks (closed-form in the id) — the
+    content family whose baseline-JPEG roundtrip is byte-EXACT under the
+    DC-step-8 quant table (every AC coefficient is exactly zero), so the
+    by-construction feature goldens gate the real compressed codec."""
+    w = 64 + (i % 8) * 16
+    h = 64 + (i % 4) * 16
+    bi = np.arange(h // 8, dtype=np.int64)[:, None]
+    bj = np.arange(w // 8, dtype=np.int64)[None, :]
+    vals = (bi * 5 + bj * 11 + i * 7) % 256
+    return np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
 
 
 def image_native(i: int) -> np.ndarray:
     """The image asset's NATIVE array (what its container encodes): BMP is
-    always (h, w, 3) uint8; PNG cycles gray/rgb × 8/16-bit. 16-bit content is
-    the 8-bit pattern × 257 (full-range expansion), so ``to_rgb8`` recovers
-    the 8-bit source exactly and feature goldens stay closed-form."""
+    always (h, w, 3) uint8; PNG cycles gray/rgb × 8/16-bit (16-bit content
+    is the 8-bit pattern × 257, so ``to_rgb8`` recovers the source exactly);
+    JPEG is flat-block content, grayscale or gray-valued 3-component (both
+    roundtrip exactly — Cb/Cr planes are constant 128, coefficients all
+    zero). Feature goldens stay closed-form for every container."""
+    container = image_container(i)
+    if container == "jpeg":
+        g = jpeg_block_array(i)
+        if JPEG_VARIANTS[(i // 12) % 2] == "gray":
+            return g
+        return np.stack([g, g, g], axis=2)
     base = image_array(i)
-    if image_container(i) == "bmp":
+    if container == "bmp":
         return base
     v = PNG_VARIANTS[(i // 6) % 4]
     if v == "rgb8":
@@ -589,7 +1088,7 @@ def decode_features(payload: bytes) -> tuple[str, list[float]]:
     and ALL feature-math failures on degenerate well-formed content are
     normalized to ValueError here, so callers' per-row ok=false handler is a
     total contract, not a lucky exception-type coincidence."""
-    if payload[:2] == b"BM" or payload[:8] == PNG_SIG:
+    if payload[:2] == b"BM" or payload[:8] == PNG_SIG or payload[:2] == JPEG_SOI:
         arr, _ = decode_image(payload)
         kind, args, fn = "image", (to_rgb8(arr),), image_features
     elif payload[:4] == b"RIFF":
@@ -599,7 +1098,9 @@ def decode_features(payload: bytes) -> tuple[str, list[float]]:
         fps, frames = decode_y4m(payload)
         kind, args, fn = "video", (frames, fps), video_features
     else:
-        raise UnrecognizedContainerError("unrecognized media container (not BMP/PNG/WAV/Y4M)")
+        raise UnrecognizedContainerError(
+            "unrecognized media container (not BMP/PNG/JPEG/WAV/Y4M)"
+        )
     try:
         return kind, fn(*args)
     except ValueError:

@@ -8,10 +8,12 @@ typed ``meta`` struct, and every transform an Arrow-batched ``mapInPandas``.
 
 Round 4: the decode is REAL — BMP (24-bit BI_RGB), WAV (RIFF PCM16) and Y4M
 (YUV4MPEG2 4:2:0) byte-level codecs in pure stdlib+numpy
-(``core/rawmedia.py``). Round 5 adds the first COMPRESSED codec: PNG
-(stdlib zlib + the five scanline filters, grayscale/truecolor 8/16-bit), so
-the dominant lossless web image format decodes real pixels too. The
-remaining stub boundary is lossy/esoteric codecs (JPEG/MP3/H.264): an
+(``core/rawmedia.py``). Round 5 adds the two COMPRESSED codecs: PNG (stdlib
+zlib + the five scanline filters, grayscale/truecolor 8/16-bit) and JPEG
+(T.81 baseline sequential — Huffman + DCT, 4:4:4 gray/color), so both
+dominant web image formats decode real pixels. The remaining stub boundary
+is non-baseline JPEG profiles (progressive, subsampled) and codecs with no
+stdlib entropy layer (WebP/MP3/H.264): an
 unrecognized container yields ``ok=false`` per row (non-strict) or raises
 ``NotImplementedError`` (``strict=True``) at the clearly-marked spot, while
 a CORRUPT payload of a recognized container is reported as the data error it
@@ -40,8 +42,9 @@ FRAMES_SCHEMA = "media_id long, frame_idx int, offset_ms int"
 
 
 def generate_media(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
-    """Deterministic media table with REAL payloads: BMP/PNG images (PNG
-    cycling gray/truecolor × 8/16-bit), WAV audio, Y4M video — content
+    """Deterministic media table with REAL payloads: BMP/PNG/JPEG images
+    (PNG cycling gray/truecolor × 8/16-bit, JPEG alternating grayscale and
+    3-component flat-block content), WAV audio, Y4M video — content
     closed-form in ``media_id`` (``core/rawmedia.py``), so any row
     regenerates identically on any executor."""
 

@@ -4,9 +4,11 @@ Same pattern as ``sources/pages.golden_parquet``: expectations computed from
 the generator's OWN arrays (``rawmedia.image_array``/``audio_samples``/
 ``video_frames``) — never through the byte-level codecs under test — and
 persisted where DuckDB can read them. A hash-green ``media_features`` gate
-therefore certifies the full encode→decode roundtrip for all four real
-container formats (BMP/PNG/WAV/Y4M — PNG across gray/truecolor × 8/16-bit
-and all five scanline filters) plus the deterministic feature math.
+therefore certifies the full encode→decode roundtrip for all five real
+container formats (BMP/PNG/JPEG/WAV/Y4M — PNG across gray/truecolor ×
+8/16-bit and all five scanline filters; JPEG across grayscale and
+3-component baseline streams, exact on the flat-block content family) plus
+the deterministic feature math.
 
 Rows are pre-exploded to (media_id, kind, n_bytes, pos, feat_e4) so the twin
 is a plain SELECT (no engine-specific unnest-with-ordinality gymnastics).

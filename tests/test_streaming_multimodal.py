@@ -110,7 +110,7 @@ def test_media_decode_unknown_container(spark):
     A corrupt payload of a RECOGNIZED container is a different strict-mode
     error: data corruption (ValueError), not a missing codec (ADVICE r4 #2)."""
     unknown = [
-        (0, "image", b"\xff\xd8\xff\xe0\x00\x10JFIF-not-supported"),  # JPEG magic
+        (0, "audio", b"OggS\x00\x02vorbis-not-supported"),  # Ogg magic
         (1, "image", None),
     ]
     corrupt = [
@@ -120,6 +120,8 @@ def test_media_decode_unknown_container(spark):
         (2, "audio", b"RIFF\x10\x00\x00\x00WAVEjunkdata"),
         # PNG signature, garbage chunks
         (3, "image", b"\x89PNG\r\n\x1a\nfakedata"),
+        # JPEG magic (recognized since round 5) but truncated stream
+        (4, "image", b"\xff\xd8\xff\xe0\x00\x10JFIF-truncated"),
     ]
     schema = "media_id long, kind string, payload binary"
     media = spark.createDataFrame(unknown + corrupt, schema)
@@ -128,8 +130,11 @@ def test_media_decode_unknown_container(spark):
     assert not out[1]["ok"]
     assert not out[2]["ok"]
     assert not out[3]["ok"]
+    assert not out[4]["ok"]
     with pytest.raises(Exception, match="NotImplementedError|compressed-codec"):
         decode_media(spark.createDataFrame(unknown, schema), strict=True).collect()
+    # recognized-container corruption in strict mode is ValueError (data
+    # corruption), never the missing-codec NotImplementedError
     with pytest.raises(Exception, match="corrupt payload"):
         decode_media(spark.createDataFrame(corrupt, schema), strict=True).collect()
 
@@ -161,7 +166,13 @@ def test_resize_images_real_pixels(spark):
             # container AND native color type/bit depth survive the resize
             assert container == RM.image_container(mid)
             assert got.dtype == want.dtype and got.shape == want.shape
-            assert np.array_equal(got, want), f"media {mid}"
+            if container == "jpeg":
+                # lossy re-encode: resampling breaks the flat-block
+                # alignment, so only bounded quantization error is promised
+                err = np.abs(got.astype(np.int64) - want.astype(np.int64))
+                assert err.max() <= 24, f"media {mid}: jpeg err {err.max()}"
+            else:
+                assert np.array_equal(got, want), f"media {mid}"
 
 
 def test_resize_strict_raises_on_undecodable(spark):
