@@ -506,6 +506,14 @@ def _doc_domain_stats(spark, sf_dir):
     )
 
 
+def _doc_pack_plan(spark, sf_dir):
+    """Concat-and-chop training-sequence packing at budget 64: fixture docs
+    run ~30 tokens, so most bins hold 2-3 documents and bin-straddling docs
+    are common — the hash certifies the per-shard prefix sums, token
+    offsets and both bin ids (exact BIGINT arithmetic end to end)."""
+    return T.pack_plan(_t(spark, sf_dir, "documents"), budget=64)
+
+
 def _dedup_exact_docs(spark, sf_dir):
     return D.dedup_exact(_t(spark, sf_dir, "documents"))
 
@@ -1399,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_tiers": _doc_quality_tiers,
         "doc_line_dedup": _doc_line_dedup,
         "doc_domain_stats": _doc_domain_stats,
+        "doc_pack_plan": _doc_pack_plan,
     }
 
 
@@ -1936,6 +1945,24 @@ SELECT host, n_docs, n_distinct_text,
   ({_sql_fix('(n_docs - n_distinct_text) / n_docs')} >= 3000
     OR host = 'h3.example.org') AS spam
 FROM g
+""",
+        "doc_pack_plan": f"""
+WITH d AS (
+  SELECT doc_id, source AS part,
+         {_sql_toks(_norm("coalesce(text, '')"))} AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, part, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d WHERE n_tokens > 0
+)
+SELECT doc_id, part, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+       CAST((cum - n_tokens) // 64 AS BIGINT) AS bin_first,
+       CAST((cum - 1) // 64 AS BIGINT) AS bin_last
+FROM c
 """,
         "doc_winnow_fingerprints": f"""
 WITH sh AS (

@@ -89,6 +89,8 @@ HEADLINE = [
     "doc_line_dedup",
     "doc_source_quota_sample",
     "doc_quality_tiers",
+    "doc_domain_stats",
+    "doc_pack_plan",
 ]
 
 

@@ -701,3 +701,43 @@ def line_dedup(docs: DataFrame, text: str = "text") -> DataFrame:
             "\n",
         ).alias("text_dedup"),
     )
+
+
+def pack_plan(docs: DataFrame, budget: int = 2048, part_col: str = "source") -> DataFrame:
+    """Training-sequence packing plan — GPT-style "concatenate and chop"
+    (Brown et al. 2020 §2.3: documents are concatenated in order and split
+    into context-length sequences; T5/LLaMA pipelines pack the same way):
+    within each shard (``part_col``), documents are laid out end-to-end in
+    deterministic doc_id order and cut into ``budget``-token bins; a
+    document straddling a cut spans consecutive bins.
+
+    → (doc_id, part, n_tokens, tok_offset, bin_first, bin_last): everything
+    a loader needs to materialize any bin. Zero-token documents are
+    excluded (they occupy no span). All arithmetic is exact BIGINT —
+    running sums and ``div``, no doubles — so the oracle gate is
+    engine-stable at any corpus size.
+
+    Scale shape: ONE shuffle keyed on the shard column; the prefix sum is a
+    per-shard running window (sort-based, spills fine). Shard sizes bound
+    the window work — the production partition key is a bounded ingest
+    shard (file/WARC id), so no global single-partition sequence exists
+    anywhere. Cross-shard bin ids are (part, bin) pairs by design: packing
+    never needs a global sequence number."""
+    t = token_count(norm_text(F.coalesce(F.col("text"), F.lit(""))))
+    d = docs.select(
+        "doc_id", F.col(part_col).alias("part"), t.alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("part")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.select("doc_id", "part", "n_tokens", F.sum("n_tokens").over(w).alias("cum"))
+    return d.select(
+        "doc_id",
+        "part",
+        "n_tokens",
+        (F.col("cum") - F.col("n_tokens")).alias("tok_offset"),
+        F.expr(f"(cum - n_tokens) div {int(budget)}").alias("bin_first"),
+        F.expr(f"(cum - 1) div {int(budget)}").alias("bin_last"),
+    )

@@ -215,3 +215,31 @@ def test_host_of_and_domain_stats(spark):
     assert out["clean.example"]["n_distinct_text"] == 2
     assert out["blocked.example"]["spam"] is True
     assert out["blocked.example"]["dup_frac_e4"] == 0
+
+
+def test_pack_plan_invariants(spark):
+    """Concat-and-chop packing: per-shard offsets are gapless prefix sums,
+    bin ids follow from offset arithmetic, and a doc straddles exactly the
+    bins its span covers."""
+    from collections import defaultdict
+
+    from ocr_machine_spark.operators.textstats import pack_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = pack_plan(docs, budget=64).collect()
+    assert rows
+    by_part = defaultdict(list)
+    for r in rows:
+        by_part[r["part"]].append(r)
+    saw_straddle = False
+    for part, rs in by_part.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert r["tok_offset"] == cum  # gapless layout
+            assert r["bin_first"] == cum // 64
+            assert r["bin_last"] == (cum + r["n_tokens"] - 1) // 64
+            assert r["bin_last"] >= r["bin_first"]
+            saw_straddle |= r["bin_last"] > r["bin_first"]
+            cum += r["n_tokens"]
+    assert saw_straddle  # budget 64 vs ~30-token docs must straddle somewhere
