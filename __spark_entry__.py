@@ -514,6 +514,75 @@ def _doc_pack_plan(spark, sf_dir):
     return T.pack_plan(_t(spark, sf_dir, "documents"), budget=64)
 
 
+def _host_pagerank(spark, sf_dir):
+    """Exact-integer PageRank (operators.graphs.host_pagerank) over a
+    deterministically synthesized host link graph: 97 hosts, three affine
+    outlinks per document plus a 40%-of-docs hub edge onto h0 (the
+    authority), self-loops dropped, multi-edges collapsed. Five iterations
+    of the BIGINT spec — rank_e9 is bit-identical across engines because
+    every step is integral division and order-independent BIGINT sums; the
+    DuckDB twin unrolls the same five iterations as chained CTEs."""
+    from ocr_machine_spark.operators.graphs import host_pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def h(c):
+        return F.concat(F.lit("h"), c.cast("string"))
+
+    src = h(F.col("doc_id") % 97)
+    parts = [
+        docs.select(src.alias("src"), h((F.col("doc_id") * 31 + k) % 97).alias("dst"))
+        for k in (7, 14, 21)
+    ]
+    hub = docs.where(F.col("doc_id") % 5 < 2).select(
+        src.alias("src"), F.lit("h0").alias("dst")
+    )
+    edges = parts[0].union(parts[1]).union(parts[2]).union(hub)
+    return host_pagerank(edges, n_iters=5)
+
+
+def _pagerank_oracle_sql(n_iters: int = 5, beta: int = 85, scale: int = 10**9) -> str:
+    """Unrolled DuckDB twin of _host_pagerank: the same five iterations as
+    chained CTEs, `//` integer division matching Spark's `div` on
+    nonnegative BIGINTs."""
+    host = "'h' || CAST(doc_id % 97 AS VARCHAR)"
+    raw = "\n  UNION ALL\n".join(
+        f"  SELECT {host} AS src, 'h' || CAST((doc_id * 31 + {k}) % 97 AS VARCHAR) AS dst FROM documents"
+        for k in (7, 14, 21)
+    )
+    sql = f"""WITH raw AS (
+{raw}
+  UNION ALL
+  SELECT {host} AS src, 'h0' AS dst FROM documents WHERE doc_id % 5 < 2
+),
+e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST({scale} // nn.n AS BIGINT) AS rank FROM nodes CROSS JOIN nn),
+"""
+    for t in range(n_iters):
+        sql += f"""s{t} AS (
+  SELECT e.dst AS node, SUM(r{t}.rank // od.odeg) AS s
+  FROM e JOIN od USING (src) JOIN r{t} ON r{t}.node = e.src
+  GROUP BY e.dst
+),
+r{t + 1} AS (
+  SELECT nodes.node,
+         CAST(((100 - {beta}) * ({scale} // nn.n) + {beta} * COALESCE(s{t}.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN s{t} ON s{t}.node = nodes.node
+),
+"""
+    sql = sql.rstrip().rstrip(",")
+    sql += f"""
+SELECT nodes.node, CAST(COALESCE(od.odeg, 0) AS BIGINT) AS out_degree,
+       r{n_iters}.rank AS rank_e9
+FROM nodes LEFT JOIN od ON od.src = nodes.node
+           JOIN r{n_iters} ON r{n_iters}.node = nodes.node
+"""
+    return sql
+
+
 def _dedup_exact_docs(spark, sf_dir):
     return D.dedup_exact(_t(spark, sf_dir, "documents"))
 
@@ -1408,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": _doc_line_dedup,
         "doc_domain_stats": _doc_domain_stats,
         "doc_pack_plan": _doc_pack_plan,
+        "host_pagerank": _host_pagerank,
     }
 
 
@@ -2224,6 +2294,8 @@ SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
   count(*) AS n_events, {_sql_fix('sum(value)')} AS sum_value_e4
 FROM events GROUP BY 1, 2
 """,
+        # exact-integer PageRank: five unrolled iterations, `//` ≡ Spark div
+        "host_pagerank": _pagerank_oracle_sql(),
         **_golden_oracles(),
     }
 

@@ -91,6 +91,7 @@ HEADLINE = [
     "doc_quality_tiers",
     "doc_domain_stats",
     "doc_pack_plan",
+    "host_pagerank",
 ]
 
 

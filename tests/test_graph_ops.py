@@ -1,0 +1,81 @@
+"""Unit tests for operators.graphs.host_pagerank (exact-integer PageRank).
+
+The oracle-parity replay already pins the gated query bit-for-bit against
+DuckDB; these tests pin the OPERATOR's semantic invariants on hand-built
+graphs where the right answer is checkable by eye, plus the partitioning
+invariance that makes the exact-arithmetic claim meaningful."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_machine_spark.operators.graphs import PAGERANK_SCALE, host_pagerank, simple_edges
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([(s, d) for s, d in pairs], "src string, dst string")
+
+
+def _ranks(df):
+    return {r["node"]: r["rank_e9"] for r in df.collect()}
+
+
+def test_simple_edges_drops_loops_and_multi(spark):
+    e = _edges(spark, [("a", "b"), ("a", "b"), ("a", "a"), ("b", "c")])
+    rows = {(r["src"], r["dst"]) for r in simple_edges(e).collect()}
+    assert rows == {("a", "b"), ("b", "c")}
+
+
+def test_pagerank_star_hub_dominates(spark):
+    # four spokes all link to the hub; hub links back to one spoke
+    e = _edges(spark, [(f"s{i}", "hub") for i in range(4)] + [("hub", "s0")])
+    out = host_pagerank(e, n_iters=5)
+    ranks = _ranks(out)
+    assert max(ranks, key=ranks.get) == "hub"
+    # spokes without inlinks all sit at the teleport floor, equal by symmetry
+    assert ranks["s1"] == ranks["s2"] == ranks["s3"]
+    assert ranks["hub"] > ranks["s0"] > ranks["s1"]
+    degs = {r["node"]: r["out_degree"] for r in out.collect()}
+    assert degs == {"hub": 1, "s0": 1, "s1": 1, "s2": 1, "s3": 1}
+
+
+def test_pagerank_two_cycle_is_stationary(spark):
+    # a <-> b: perfectly symmetric, rank stays at the uniform fixed point
+    # (up to the deterministic integer-floor loss, identical per node)
+    e = _edges(spark, [("a", "b"), ("b", "a")])
+    r1 = _ranks(host_pagerank(e, n_iters=1))
+    r5 = _ranks(host_pagerank(e, n_iters=5))
+    assert r1["a"] == r1["b"]
+    assert r5["a"] == r5["b"]
+    assert r5["a"] <= PAGERANK_SCALE // 2
+
+
+def test_pagerank_mass_bounded(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")])
+    total = sum(_ranks(host_pagerank(e, n_iters=5)).values())
+    assert 0 < total <= PAGERANK_SCALE
+
+
+def test_pagerank_dangling_node_keeps_teleport_rank(spark):
+    # c has no outlinks (dangling); its mass is dropped by spec, but c
+    # itself still accumulates rank from a and the teleport term
+    e = _edges(spark, [("a", "c"), ("b", "c")])
+    out = host_pagerank(e, n_iters=3)
+    ranks = _ranks(out)
+    degs = {r["node"]: r["out_degree"] for r in out.collect()}
+    assert degs["c"] == 0
+    assert ranks["c"] > ranks["a"] == ranks["b"]
+
+
+def test_pagerank_partitioning_invariance(spark):
+    # exact BIGINT arithmetic ⇒ the result must not depend on input layout
+    pairs = [(f"n{i % 13}", f"n{(i * 7 + 3) % 13}") for i in range(200)]
+    e = _edges(spark, pairs)
+    a = _ranks(host_pagerank(e, n_iters=4))
+    b = _ranks(host_pagerank(e.repartition(17, F.col("dst")), n_iters=4))
+    assert a == b
+
+
+def test_pagerank_beta_bounds(spark):
+    e = _edges(spark, [("a", "b")])
+    with pytest.raises(ValueError, match="beta_pct"):
+        host_pagerank(e, beta_pct=101)
