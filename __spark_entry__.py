@@ -1013,6 +1013,19 @@ def _extraction_spans(spark, sf_dir):
     return kept.unionAll(rem)
 
 
+def _extraction_outlinks(spark, sf_dir):
+    """Link-graph feed (operators.extraction.extract_outlinks): every
+    <a href> per page in document order, anchor text as rendered, hrefs
+    resolved against the page url (core.extract.resolve_href spec). The
+    golden twin is by construction — the generator knows exactly which
+    anchors it embedded (nav + link-farm) — so a hash match certifies DOM
+    attribute extraction, anchor rendering, and resolution end-to-end,
+    including on non-UTF-8 pages."""
+    from ocr_machine_spark.operators.extraction import extract_outlinks
+
+    return extract_outlinks(_fixture_pages(spark, N_E2E), partitions=8)
+
+
 def _blocks_by_type(spark, sf_dir):
     blocks = extract_blocks(_fixture_pages(spark, N_E2E))
     return blocks.groupBy("block_type").agg(
@@ -1423,23 +1436,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rarity_stats": _doc_rarity_stats,
         "doc_passage_overlap": _doc_passage_overlap,
         # -- core relational contract (TPC-H-shaped + ops surface) --
+        # round-5 rotation #2: the late curation operators plus the two new
+        # link-graph operators enter the gate window; six relational-breadth
+        # entries (anti/full-outer join, frame window, global top-k, cube,
+        # approx-percentile) move below — each remains parity-gated by
+        # tests/test_oracle_parity.py and its capability family keeps a
+        # driver-gated representative (semi join, sessionize window, q3's
+        # sort+limit, set ops, agg stats).
+        "doc_line_dedup": _doc_line_dedup,
+        "doc_domain_stats": _doc_domain_stats,
+        "doc_pack_plan": _doc_pack_plan,
+        "doc_source_quota_sample": _doc_source_quota_sample,
+        "host_pagerank": _host_pagerank,
+        "extraction_outlinks": _extraction_outlinks,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_region_revenue": _q5_region_revenue,
         "filter_pushdown_scan": _filter_pushdown_scan,
         "semi_join_customers": _semi_join_customers,
-        "anti_join_customers": _anti_join_customers,
-        "full_outer_join_counts": _full_outer_join_counts,
         "asof_purchase_before_click": _asof_purchase_before_click,
         "broadcast_brand_agg": _broadcast_brand_agg,
-        "window_running_value": _window_running_value,
         "sessionize_events": _sessionize_events,
-        "topk_orders_global": _topk_orders_global,
         "agg_stats_lineitem": _agg_stats_lineitem,
-        "cube_flag_status": _cube_flag_status,
         "set_ops_custkeys": _set_ops_custkeys,
-        "approx_percentile_prices": _approx_percentile_prices,
         # ---- position 51+: surface breadth, locally gated only ----
+        "anti_join_customers": _anti_join_customers,
+        "full_outer_join_counts": _full_outer_join_counts,
+        "window_running_value": _window_running_value,
+        "topk_orders_global": _topk_orders_global,
+        "cube_flag_status": _cube_flag_status,
+        "approx_percentile_prices": _approx_percentile_prices,
         "doc_fingerprint": _doc_fingerprint,
         "jaccard_pairs_3gram": _jaccard_pairs_3gram,
         "distinct_counts": _distinct_counts,
@@ -1471,13 +1497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": _doc_rolling_fingerprint,
         "doc_winnow_fingerprints": _doc_winnow_fingerprints,
         "doc_stratified_sample": _doc_stratified_sample,
-        # round 5 late: domain-quota downsampling + quality tiering
-        "doc_source_quota_sample": _doc_source_quota_sample,
+        # round 5 late: quality tiering (composition of gated doc_quality +
+        # the demonstrated distributed ntile — parity-gated)
         "doc_quality_tiers": _doc_quality_tiers,
-        "doc_line_dedup": _doc_line_dedup,
-        "doc_domain_stats": _doc_domain_stats,
-        "doc_pack_plan": _doc_pack_plan,
-        "host_pagerank": _host_pagerank,
     }
 
 
@@ -2566,7 +2588,7 @@ def _golden_oracles() -> dict[str, str]:
     parquet (expectations computed by construction — never by the extractor).
     DuckDB can't parse HTML, but it doesn't need to: the goldens ARE the
     expected output, so hash-match means byte-identical extraction."""
-    from ocr_machine_spark.sources.pages import golden_parquet
+    from ocr_machine_spark.sources.pages import golden_parquet, outlink_golden_parquet
 
     g_e2e = golden_parquet(N_E2E)
     g_blk = golden_parquet(N_BLOCKS)
@@ -2586,6 +2608,9 @@ FROM (SELECT url, unnest(spans) AS s FROM '{g_e2e}')
 UNION ALL
 SELECT url, s.start, s."end", s.reason, 'removed'
 FROM (SELECT url, unnest(removed_spans) AS s FROM '{g_e2e}')
+""",
+        "extraction_outlinks": f"""
+SELECT url, pos, href, anchor FROM '{outlink_golden_parquet(N_E2E)}'
 """,
         "url_canonical_dedup": f"""
 WITH v AS (

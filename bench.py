@@ -92,6 +92,7 @@ HEADLINE = [
     "doc_domain_stats",
     "doc_pack_plan",
     "host_pagerank",
+    "extraction_outlinks",
 ]
 
 

@@ -324,3 +324,100 @@ def extract_one(html: bytes | str | None, want_blocks: bool = False) -> ExtractR
         chars_out=len(extracted),
         charset=charset,
     )
+
+
+# ---------------------------------------------------------------------------
+# Outlink extraction — the crawl-side link-graph feed. The reference's
+# per-page flow has no link stage (its documents are scanned PDFs); this is
+# the webgraph extension a Common-Crawl-style corpus needs: every <a href>
+# in document order, anchor text as rendered, href resolved against the
+# page URL. Feeds operators.graphs.host_pagerank.
+# ---------------------------------------------------------------------------
+
+_SCHEME_AUTH_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*:)//([^/?#]*)")
+_HAS_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+def resolve_href(base_url: str, href: str) -> str | None:
+    """Resolve ``href`` against ``base_url`` (simplified RFC 3986 subset,
+    documented spec — the golden generator reproduces it by construction):
+
+    * absolute with scheme → unchanged if http(s), else dropped (mailto:,
+      javascript:, tel: … are not crawlable links);
+    * protocol-relative ``//host/…`` → base scheme + href;
+    * root-relative ``/…`` → base ``scheme://authority`` + href;
+    * fragment-only ``#…`` and empty → dropped (self-reference);
+    * path-relative ``x/y`` → resolved against the base path's directory
+      (no ``.``/``..`` normalization — crawl frontiers canonicalize later,
+      see operators.urls.canonical_url).
+
+    Returns None for dropped links.
+    """
+    if not href or href.startswith("#"):
+        return None
+    m = _SCHEME_AUTH_RE.match(base_url)
+    if m is None:
+        return None  # base itself unparseable: no resolution possible
+    scheme, auth = m.group(1), m.group(2)
+    if _HAS_SCHEME_RE.match(href):
+        return href if href.startswith(("http://", "https://")) else None
+    if href.startswith("//"):
+        return f"{scheme}{href}"
+    if href.startswith("/"):
+        return f"{scheme}//{auth}{href}"
+    base_path = base_url[m.end() :].split("?", 1)[0].split("#", 1)[0]
+    base_dir = base_path[: base_path.rfind("/") + 1] or "/"
+    return f"{scheme}//{auth}{base_dir}{href}"
+
+
+def _anchor_text(el) -> str:
+    """Whitespace-normalized rendered text of an element's subtree (text
+    runs joined with a space, then collapsed)."""
+    parts: list[str] = []
+    stack = [el]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, str):
+            parts.append(node)
+        else:
+            stack.extend(reversed(node.children))
+    return " ".join(" ".join(parts).split())
+
+
+def outlinks_one(html: bytes | str | None, base_url: str) -> list[tuple[str, str]]:
+    """One page's HTML → [(resolved_href, anchor_text)] in document order.
+
+    Same decode path as extract_one (charset sniff, errors="replace");
+    malformed pages yield [] rather than raising — a page with no parseable
+    links simply contributes nothing to the link graph (the extraction gate
+    accounts for the failure itself).
+    """
+    from ocr_machine_spark.core.htmlparse import parse_html
+
+    try:
+        if html is None:
+            return []
+        if isinstance(html, (bytes, bytearray)):
+            if len(html) == 0:
+                return []
+            b = bytes(html)
+            text_html = b.decode(sniff_charset(b), errors="replace")
+        else:
+            text_html = html
+        root = parse_html(text_html)
+    except Exception:  # noqa: BLE001 — survive any malformed page
+        return []
+    out: list[tuple[str, str]] = []
+    stack = [root]
+    # explicit stack, children pushed reversed → document order; nested <a>
+    # cannot occur (the tree builder's implied-close pops an open <a>)
+    while stack:
+        node = stack.pop()
+        if isinstance(node, str):
+            continue
+        if node.tag == "a":
+            href = resolve_href(base_url, node.attrs.get("href", ""))
+            if href is not None:
+                out.append((href, _anchor_text(node)))
+        stack.extend(reversed(node.children))
+    return out

@@ -87,6 +87,11 @@ class GoldenPage:
     # codec the html bytes are encoded with — the extractor must sniff and
     # report exactly this (codecs-normalized name)
     charset: str = "utf-8"
+    # every <a href> in document order as (resolved_href, anchor_text), by
+    # construction: nav links then link-farm links, root-relative hrefs
+    # resolved against the page's scheme://host (core.extract.resolve_href
+    # spec) — the link-graph golden
+    outlinks: list[tuple[str, str]] = None
 
 
 def make_page(i: int, seed: int = 42) -> GoldenPage:
@@ -316,6 +321,9 @@ def make_page(i: int, seed: int = 42) -> GoldenPage:
     # and struck interleave in document order already (lines are ordered)
     removed.sort(key=lambda t: t[0])
 
+    base = f"https://{host}"
+    outlinks = [(f"{base}/{w}", w) for w in nav_items] + [(f"{base}/{w}", w) for w in farm_links]
+
     return GoldenPage(
         url=url,
         warc_ts=warc_ts,
@@ -331,6 +339,7 @@ def make_page(i: int, seed: int = 42) -> GoldenPage:
         has_figure=with_figure,
         blocks=blocks,
         charset=charset,
+        outlinks=outlinks,
     )
 
 

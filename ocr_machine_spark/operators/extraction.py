@@ -294,6 +294,60 @@ def extract_pages(pages: DataFrame, *, partitions: int | None = None) -> DataFra
     return slim.mapInArrow(_extract_batches_arrow, schema=EXTRACT_SCHEMA)
 
 
+OUTLINK_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("pos", LongType(), False),
+        StructField("href", StringType(), False),
+        StructField("anchor", StringType(), False),
+    ]
+)
+
+
+def _outlink_batches_arrow(batches):
+    """Arrow-native outlink stage: one output row per <a href> in document
+    order (pos = per-page anchor index). Pages that fail to parse or carry
+    no crawlable links contribute zero rows — the error channel stays with
+    extract_pages' ok=false accounting for the same url."""
+    import pyarrow as pa
+
+    from ocr_machine_spark.core.extract import outlinks_one
+
+    for batch in batches:
+        urls = batch.column(batch.schema.get_field_index("url")).to_pylist()
+        htmls = batch.column(batch.schema.get_field_index("html")).to_pylist()
+        us: list[str] = []
+        ps: list[int] = []
+        hs: list[str] = []
+        an: list[str] = []
+        for url, html in zip(urls, htmls):
+            for pos, (href, anchor) in enumerate(outlinks_one(html, url)):
+                us.append(url)
+                ps.append(pos)
+                hs.append(href)
+                an.append(anchor)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(us, pa.string()),
+                pa.array(ps, pa.int64()),
+                pa.array(hs, pa.string()),
+                pa.array(an, pa.string()),
+            ],
+            names=["url", "pos", "href", "anchor"],
+        )
+
+
+def extract_outlinks(pages: DataFrame, *, partitions: int | None = None) -> DataFrame:
+    """pages(url, html, ...) → (url, pos, href, anchor) per anchor — the
+    link-graph feed (aggregate with operators.urls.host_of into host edges
+    for operators.graphs.host_pagerank). Same slim-projection discipline as
+    extract_pages: the scan reads only (url, html)."""
+    slim = pages.select("url", "html")
+    if partitions:
+        slim = repartition_salted(slim, partitions)
+    return slim.mapInArrow(_outlink_batches_arrow, schema=OUTLINK_SCHEMA)
+
+
 def _blocks_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Block rows per parseable page. CONTRACT: a page whose extraction fails
     yields NO block rows (blocks of an unparsed DOM don't exist) — the error

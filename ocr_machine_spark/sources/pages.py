@@ -182,6 +182,49 @@ def golden_parquet(n: int, seed: int = 42, base_dir: str = "/tmp/ocr_machine_spa
     return path
 
 
+def outlink_golden_parquet(n: int, seed: int = 42, base_dir: str = "/tmp/ocr_machine_spark_goldens") -> str:
+    """By-construction link-graph goldens for pages [0, n): one row per
+    anchor, (url, pos, href, anchor) in document order — nav links then
+    farm links, hrefs pre-resolved by the generator (never by the extractor
+    under test). Same committed-golden pattern and atomic-write discipline
+    as golden_parquet above."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(base_dir, f"outlink_goldens_v1_n{n}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(base_dir, exist_ok=True)
+
+    from ocr_machine_spark.fixtures import make_page
+
+    urls, poss, hrefs, anchors = [], [], [], []
+    for i in range(n):
+        p = make_page(i, seed)
+        for pos, (href, anchor) in enumerate(p.outlinks):
+            urls.append(p.url)
+            poss.append(pos)
+            hrefs.append(href)
+            anchors.append(anchor)
+    tbl = pa.Table.from_pydict(
+        {"url": urls, "pos": poss, "href": hrefs, "anchor": anchors},
+        schema=pa.schema(
+            [
+                ("url", pa.string()),
+                ("pos", pa.int64()),
+                ("href", pa.string()),
+                ("anchor", pa.string()),
+            ]
+        ),
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def write_pages(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 

@@ -290,3 +290,70 @@ def test_extract_non_utf8_pages_recover_exact_content():
     broken = b'<html><head><meta charset="shift_jis"></head><body><p>' + b"\x81" + b" ok words here now fine</p>"
     r = extract_one(broken)
     assert r.ok and r.charset == "shift_jis"
+
+
+# ---------------------------------------------------------------------------
+# outlink extraction (core.extract.outlinks_one / resolve_href)
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_href_spec():
+    from ocr_machine_spark.core.extract import resolve_href
+
+    base = "https://www.Ex.com:8080/a/b?q=1#frag"
+    # root-relative → scheme://authority (verbatim authority, port kept)
+    assert resolve_href(base, "/x") == "https://www.Ex.com:8080/x"
+    # path-relative → base directory, no dot-normalization
+    assert resolve_href(base, "c/d") == "https://www.Ex.com:8080/a/c/d"
+    assert resolve_href(base, "../up") == "https://www.Ex.com:8080/a/../up"
+    # protocol-relative → base scheme
+    assert resolve_href(base, "//other.com/p") == "https://other.com/p"
+    # absolute http(s) pass through unchanged; other schemes dropped
+    assert resolve_href(base, "http://a.com/") == "http://a.com/"
+    assert resolve_href(base, "mailto:x@y.com") is None
+    assert resolve_href(base, "javascript:void(0)") is None
+    # fragment-only / empty → dropped
+    assert resolve_href(base, "#top") is None
+    assert resolve_href(base, "") is None
+    # unparseable base → nothing resolvable
+    assert resolve_href("not a url", "/x") is None
+    # base with no path: directory is "/"
+    assert resolve_href("https://a.com", "p") == "https://a.com/p"
+
+
+def test_outlinks_one_document_order_and_nesting():
+    from ocr_machine_spark.core.extract import outlinks_one
+
+    html = (
+        "<html><body>"
+        '<p>intro <a href="/one">first <b>bold</b> link</a> mid</p>'
+        '<div><a href="two.html">second</a><a href="#skip">skipped</a></div>'
+        '<a href="mailto:x@y">also skipped</a>'
+        '<a href="https://abs.example/p">third</a>'
+        "</body></html>"
+    )
+    links = outlinks_one(html, "https://h.example/dir/page.html")
+    assert links == [
+        ("https://h.example/one", "first bold link"),
+        ("https://h.example/dir/two.html", "second"),
+        ("https://abs.example/p", "third"),
+    ]
+
+
+def test_outlinks_one_total_on_garbage():
+    from ocr_machine_spark.core.extract import outlinks_one
+
+    assert outlinks_one(None, "https://x.com/") == []
+    assert outlinks_one(b"", "https://x.com/") == []
+    assert outlinks_one(b"\xff\xfe garbage <a", "https://x.com/") == []
+    # anchor with no href attribute contributes nothing
+    assert outlinks_one("<a name='x'>t</a>", "https://x.com/") == []
+
+
+def test_outlinks_match_fixture_goldens():
+    from ocr_machine_spark.core.extract import outlinks_one
+    from ocr_machine_spark.fixtures import make_page
+
+    for i in range(40):
+        p = make_page(i)
+        assert outlinks_one(p.html, p.url) == p.outlinks, f"page {i}"
