@@ -236,6 +236,27 @@ def make_page(i: int, seed: int = 42) -> GoldenPage:
     html_parts.append(f"<div>related topics {farm_html}</div>")
     lines.append(("related topics " + " ".join(farm_links), None, "link_farm", []))
     bmeta.append(("LAYOUT_TEXT", None, None, False))
+
+    # cross-host external links (fixture v5) — the webgraph feed: ~40% of
+    # pages carry 2-4 absolute links to other fixture hosts (mega-hosts
+    # become hubs), giving host_edges/host_pagerank a real skewed graph.
+    # Isolated rng stream; the block is link-dense by construction (worst
+    # case 6/17 = 0.353 > MAX_LINK_DENSITY) so its golden reason is
+    # link_farm like the sidebar above.
+    rng_ext = random.Random(f"{seed}:{i}:extlinks")
+    ext_links: list[tuple[str, str]] = []
+    if rng_ext.random() < 0.4:
+        for _ in range(rng_ext.randint(2, 4)):
+            if rng_ext.random() < 0.5:
+                thost = rng_ext.choice(MEGA_HOSTS)
+            else:
+                thost = f"site{rng_ext.randrange(N_SMALL_HOSTS)}.example.org"
+            w = rng_ext.choice(WORDS)
+            ext_links.append((f"https://{thost}/page/{rng_ext.randrange(2000)}", w))
+        ext_html = " ".join(f'<a href="{href}">{w}</a>' for href, w in ext_links)
+        html_parts.append(f"<div>elsewhere {ext_html}</div>")
+        lines.append(("elsewhere " + " ".join(w for _, w in ext_links), None, "link_farm", []))
+        bmeta.append(("LAYOUT_TEXT", None, None, False))
     html_parts.append("</main>")
 
     html_parts.append("<footer><p>copyright example press all rights reserved</p></footer>")
@@ -322,7 +343,11 @@ def make_page(i: int, seed: int = 42) -> GoldenPage:
     removed.sort(key=lambda t: t[0])
 
     base = f"https://{host}"
-    outlinks = [(f"{base}/{w}", w) for w in nav_items] + [(f"{base}/{w}", w) for w in farm_links]
+    outlinks = (
+        [(f"{base}/{w}", w) for w in nav_items]
+        + [(f"{base}/{w}", w) for w in farm_links]
+        + ext_links
+    )
 
     return GoldenPage(
         url=url,

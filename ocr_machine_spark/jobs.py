@@ -65,12 +65,14 @@ def main(argv: list[str] | None = None) -> None:
     )
     ap.add_argument(
         "--job",
-        choices=("extract", "curate"),
+        choices=("extract", "curate", "linkgraph"),
         default="extract",
         help="extract (default): bucket-committed incremental extraction of a "
         "pages table; curate: Gopher quality filter + exact-dedup survivor "
         "selection over a documents table (deterministic pure function — "
-        "idempotent via overwrite, no bucket lineage needed)",
+        "idempotent via overwrite, no bucket lineage needed); linkgraph: "
+        "host-level edge list + exact-integer PageRank over a pages table "
+        "(pure overwrite job, same idempotence argument as curate)",
     )
     ap.add_argument(
         "--dedup-lines",
@@ -92,6 +94,19 @@ def main(argv: list[str] | None = None) -> None:
     looks_like_table = "/" not in args.input and "\\" not in args.input and not args.input.startswith("file:")
     is_table = looks_like_table and spark.catalog.tableExists(args.input)
     pages = spark.table(args.input) if is_table else spark.read.parquet(args.input)
+    if args.job == "linkgraph":
+        from ocr_machine_spark.plans.linkgraph import run_linkgraph
+
+        stats = run_linkgraph(
+            spark,
+            pages,
+            args.output,
+            run_id=args.run_id,
+            partitions=args.partitions,
+        )
+        print(json.dumps(stats))
+        spark.stop()
+        return
     if args.job == "curate":
         from ocr_machine_spark.plans.curate import run_curation
 

@@ -123,7 +123,7 @@ def golden_parquet(n: int, seed: int = 42, base_dir: str = "/tmp/ocr_machine_spa
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = os.path.join(base_dir, f"goldens_v4_n{n}_s{seed}.parquet")
+    path = os.path.join(base_dir, f"goldens_v5_n{n}_s{seed}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(base_dir, exist_ok=True)
@@ -193,7 +193,7 @@ def outlink_golden_parquet(n: int, seed: int = 42, base_dir: str = "/tmp/ocr_mac
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = os.path.join(base_dir, f"outlink_goldens_v1_n{n}_s{seed}.parquet")
+    path = os.path.join(base_dir, f"outlink_goldens_v2_n{n}_s{seed}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(base_dir, exist_ok=True)

@@ -79,3 +79,34 @@ def test_pagerank_beta_bounds(spark):
     e = _edges(spark, [("a", "b")])
     with pytest.raises(ValueError, match="beta_pct"):
         host_pagerank(e, beta_pct=101)
+
+
+def test_linkgraph_job_end_to_end(spark, tmp_path):
+    """pages → outlinks → host edges → ranks as the production job runs it:
+    intra-host links dropped, cross-host mega-hub ranks on top, re-run
+    byte-identical (idempotence by pure function)."""
+    from ocr_machine_spark.plans.linkgraph import run_linkgraph
+    from ocr_machine_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 400, partitions=4)
+    out = str(tmp_path / "lg")
+    s1 = run_linkgraph(spark, pages, out, run_id="t1", n_iters=3)
+    assert s1["n_links"] > 0 and s1["n_edges"] > 0 and s1["n_hosts"] > 0
+    # the fixture's mega-hosts absorb ~half of all external links → the top
+    # rank must be one of them
+    assert s1["top_host"].startswith("big")
+    edges = {
+        (r["src_host"], r["dst_host"])
+        for r in spark.read.parquet(f"{out}/edges").collect()
+    }
+    assert all(s != d and d != "" for s, d in edges)
+    ranks1 = sorted(
+        (r["node"], r["out_degree"], r["rank_e9"])
+        for r in spark.read.parquet(f"{out}/ranks").collect()
+    )
+    s2 = run_linkgraph(spark, pages, out, run_id="t2", n_iters=3)
+    ranks2 = sorted(
+        (r["node"], r["out_degree"], r["rank_e9"])
+        for r in spark.read.parquet(f"{out}/ranks").collect()
+    )
+    assert s1["n_links"] == s2["n_links"] and ranks1 == ranks2
