@@ -1341,6 +1341,27 @@ def _doc_decontaminate(spark, sf_dir):
     return T.benchmark_contamination(docs, bench, k=DECON_K)
 
 
+DECON_BLOOM_M, DECON_BLOOM_H = 512, 3
+
+
+def _doc_decontaminate_bloom(spark, sf_dir):
+    """Bloom-tier decontamination over the SAME bench construction as
+    doc_decontaminate — the constant-size-broadcast form for eval suites too
+    big to broadcast as strings. m_bits=512 is deliberately small so the
+    fixture corpus exhibits REAL false positives (bloom_flagged strictly
+    above contaminated) — certifying the probabilistic tier's semantics,
+    not just replaying the exact one. Zero false negatives by construction
+    (pinned row-wise vs the exact tier in tests)."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(norm_text(F.coalesce(F.col("text"), F.lit(""))), " ")
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0).select(
+        F.array_join(F.slice(ws, DECON_PROMPT_START, DECON_PROMPT_LEN), " ").alias("text")
+    )
+    return T.bloom_decontaminate(
+        docs, bench, k=DECON_K, m_bits=DECON_BLOOM_M, n_hashes=DECON_BLOOM_H
+    )
+
+
 def _doc_gopher_filter(spark, sf_dir):
     """The curation DECISION over the RAW corpus (no injection — the point
     is a non-trivial keep/drop split on natural data): complete Gopher rule
@@ -1433,6 +1454,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_filter": _doc_gopher_filter,
         "streaming_dedup_docs": _streaming_dedup_docs,
         "doc_decontaminate": _doc_decontaminate,
+        # round-5 rotation #3: the Bloom decontamination tier enters the gate
+        # window next to its exact twin; broadcast_brand_agg moves below —
+        # broadcast-join capability keeps four gated representatives (q3/q5
+        # broadcast dims, doc_decontaminate's broadcast bench side, and this
+        # query's three broadcast bitmap probes).
+        "doc_decontaminate_bloom": _doc_decontaminate_bloom,
         "doc_rarity_stats": _doc_rarity_stats,
         "doc_passage_overlap": _doc_passage_overlap,
         # -- core relational contract (TPC-H-shaped + ops surface) --
@@ -1455,11 +1482,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_pushdown_scan": _filter_pushdown_scan,
         "semi_join_customers": _semi_join_customers,
         "asof_purchase_before_click": _asof_purchase_before_click,
-        "broadcast_brand_agg": _broadcast_brand_agg,
         "sessionize_events": _sessionize_events,
         "agg_stats_lineitem": _agg_stats_lineitem,
         "set_ops_custkeys": _set_ops_custkeys,
         # ---- position 51+: surface breadth, locally gated only ----
+        "broadcast_brand_agg": _broadcast_brand_agg,
         "anti_join_customers": _anti_join_customers,
         "full_outer_join_counts": _full_outer_join_counts,
         "window_running_value": _window_running_value,
@@ -2250,6 +2277,47 @@ dsh AS (
 hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM dsh JOIN bsh USING (sh) GROUP BY 1)
 SELECT d.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
        coalesce(n_hits, 0) > 0 AS contaminated
+FROM d LEFT JOIN hits USING (doc_id)
+""",
+        "doc_decontaminate_bloom": f"""
+WITH d AS (SELECT doc_id, {_norm("coalesce(text, '')")} AS tx FROM documents),
+w AS (SELECT doc_id, tx, string_split(tx, ' ') AS ws FROM d),
+bw AS (
+  SELECT string_split(array_to_string(ws[{DECON_PROMPT_START}:{DECON_PROMPT_START + DECON_PROMPT_LEN - 1}], ' '), ' ') AS bws
+  FROM w WHERE doc_id % {DECON_BENCH_MOD} = 0
+),
+bsh AS (
+  SELECT DISTINCT array_to_string(bws[CAST(i AS INTEGER):CAST(i AS INTEGER) + {DECON_K - 1}], ' ') AS sh
+  FROM bw, unnest(range(1, len(bws) - {DECON_K - 2})) u(i)
+  WHERE len(bws) >= {DECON_K}
+),
+bitmap AS (
+  SELECT (pos >> 5) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST((pos & 31) AS INTEGER)) AS word
+  FROM (
+    SELECT ('0x' || substring(md5(sh), CAST(1 + 8 * j AS INTEGER), 8))::BIGINT % {DECON_BLOOM_M} AS pos
+    FROM bsh, unnest(range(0, {DECON_BLOOM_H})) t(j)
+  )
+  GROUP BY 1
+),
+dsh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[CAST(i AS INTEGER):CAST(i AS INTEGER) + {DECON_K - 1}], ' ') AS sh
+  FROM w, unnest(range(1, len(ws) - {DECON_K - 2})) u(i)
+  WHERE tx <> '' AND len(ws) >= {DECON_K}
+),
+probe AS (
+  SELECT doc_id, sh,
+         min(CASE WHEN ((coalesce(word, 0) >> CAST((pos & 31) AS INTEGER)) & 1) = 1 THEN 1 ELSE 0 END) AS all_set
+  FROM (
+    SELECT doc_id, sh, ('0x' || substring(md5(sh), CAST(1 + 8 * j AS INTEGER), 8))::BIGINT % {DECON_BLOOM_M} AS pos
+    FROM dsh, unnest(range(0, {DECON_BLOOM_H})) t(j)
+  ) p LEFT JOIN bitmap ON (p.pos >> 5) = bitmap.word_idx
+  GROUP BY doc_id, sh
+),
+hits AS (SELECT doc_id, CAST(sum(all_set) AS BIGINT) AS n_bloom_hits FROM probe GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+       coalesce(n_bloom_hits, 0) > 0 AS bloom_flagged
 FROM d LEFT JOIN hits USING (doc_id)
 """,
         "doc_rarity_stats": f"""

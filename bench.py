@@ -84,6 +84,7 @@ HEADLINE = [
     # decontamination, and corpus-relative rarity — timed from day one
     "doc_gopher_filter",
     "doc_decontaminate",
+    "doc_decontaminate_bloom",
     "doc_rarity_stats",
     "doc_passage_overlap",
     "doc_line_dedup",

@@ -741,3 +741,103 @@ def pack_plan(docs: DataFrame, budget: int = 2048, part_col: str = "source") -> 
         F.expr(f"(cum - n_tokens) div {int(budget)}").alias("bin_first"),
         F.expr(f"(cum - 1) div {int(budget)}").alias("bin_last"),
     )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    *,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 3,
+    text: str = "text",
+    bench_text: str = "text",
+) -> DataFrame:
+    """Bloom-filter decontamination — the 100-TB form of
+    ``benchmark_contamination``. The exact pass broadcasts the benchmark's
+    raw shingle STRINGS; for a large eval suite that broadcast is GBs and
+    every probe is a string hash-join. This tier compresses the benchmark
+    side to an exact-deterministic Bloom bitmap (``m_bits``/8 bytes — 128 KiB
+    for the default 2^20 — regardless of benchmark size) and probes with
+    pure JVM bit math, trading a spec-fixed false-positive rate
+    (~(nh/m)^h, ZERO false negatives) for a constant-size broadcast.
+
+    Build: benchmark shingles → ``n_hashes`` positions each (non-overlapping
+    8-hex-digit md5 slices mod ``m_bits`` — the engine-portable hash family,
+    see ``_md5_int60``) → 32-bit words keyed by ``pos >> 5``, OR-folded with
+    ``bit_or``. Words are 32-bit (bit = pos & 31) although stored in BIGINT:
+    DuckDB ERRORS on ``1::BIGINT << 63`` where the JVM wraps, so the shared
+    exact range caps the shift at 31.
+
+    Probe: ``n_hashes`` BROADCAST left joins on the word index (map-side; a
+    missing word means the bit is 0) + one conjunction of
+    ``(word >> bit) & 1`` tests; the ONLY shuffle in the whole plan is the
+    final per-doc hit count — strictly the exact tier's shuffle shape with
+    the string join replaced by bit probes.
+
+    → (doc_id, n_bloom_hits, bloom_flagged). No false negatives:
+    ``n_bloom_hits ≥ n_hits`` and ``bloom_flagged ⊇ contaminated`` row-wise
+    vs ``benchmark_contamination`` (pinned by tests). Reference twin: the
+    corpus-hygiene pass of SURVEY.md §2's curation tier.
+    """
+
+    def _positions(sh) -> list[F.Column]:
+        return [
+            (F.conv(F.substring(F.md5(sh), 1 + 8 * j, 8), 16, 10).cast("long") % m_bits)
+            for j in range(n_hashes)
+        ]
+
+    b_sh = (
+        bench.select(
+            F.explode(F.array_distinct(word_shingles(norm_text(bench_text), k))).alias("sh")
+        )
+        .distinct()
+    )
+    bitmap = (
+        b_sh.select(F.explode(F.array(*_positions(F.col("sh")))).alias("pos"))
+        .select(
+            F.shiftright(F.col("pos"), 5).alias("word_idx"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.col("pos").bitwiseAND(F.lit(31)).cast("int")
+            ).alias("bit_v"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit_v").alias("word"))
+    )
+
+    probe = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(norm_text(text), k))).alias("sh"),
+    )
+    conds = []
+    for j, pj in enumerate(_positions(F.col("sh"))):
+        probe = probe.withColumn(f"_w{j}", F.shiftright(pj, 5)).withColumn(
+            f"_b{j}", pj.bitwiseAND(F.lit(31))
+        )
+        bm_j = bitmap.select(
+            F.col("word_idx").alias(f"_w{j}"), F.col("word").alias(f"_word{j}")
+        )
+        probe = probe.join(F.broadcast(bm_j), f"_w{j}", "left")
+        conds.append(
+            F.call_function(
+                "shiftright",
+                F.coalesce(F.col(f"_word{j}"), F.lit(0).cast("long")),
+                F.col(f"_b{j}").cast("int"),
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+    all_set = conds[0]
+    for c in conds[1:]:
+        all_set = all_set & c
+    hits = probe.groupBy("doc_id").agg(
+        F.sum(all_set.cast("int")).cast("long").alias("n_bloom_hits")
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bloom_hits"), F.lit(0)).cast("long").alias("n_bloom_hits"),
+            (F.coalesce(F.col("n_bloom_hits"), F.lit(0)) > 0).alias("bloom_flagged"),
+        )
+    )

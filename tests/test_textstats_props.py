@@ -365,3 +365,49 @@ def test_line_dedup_keeper_and_reassembly(spark):
     assert out[2]["n_lines"] == 3 and out[2]["n_kept"] == 2  # blank dropped
     assert out[2]["text_dedup"] == "gamma\ndelta"
     assert out[3]["n_kept"] == 0 and out[3]["text_dedup"] == ""
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """Bloom tier contract: ZERO false negatives vs the exact tier at any
+    m_bits (every contaminated doc is bloom-flagged with at least as many
+    hits), and at a deliberately tiny m_bits the fixture corpus exhibits
+    REAL false positives — the filter is a Bloom filter, not a replay of
+    the exact string join."""
+    from ocr_machine_spark.operators.textstats import (
+        benchmark_contamination,
+        bloom_decontaminate,
+    )
+
+    leak = "one two three four five six seven eight"
+    rows = [(1, f"intro {leak} outro"), (2, "clean text " * 20)] + [
+        (i, f"filler doc {i} " + " ".join(f"w{i}x{j}" for j in range(40)))
+        for i in range(3, 120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(leak,)], "text string")
+
+    exact = {r["doc_id"]: r for r in benchmark_contamination(docs, bench, k=8).collect()}
+
+    # tiny filter → false positives expected; no false negatives ever
+    tiny = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(docs, bench, k=8, m_bits=64, n_hashes=2).collect()
+    }
+    assert set(tiny) == set(exact)
+    for did, r in tiny.items():
+        assert r["n_bloom_hits"] >= exact[did]["n_hits"]
+        if exact[did]["contaminated"]:
+            assert r["bloom_flagged"]
+    n_fp = sum(
+        1 for did, r in tiny.items() if r["bloom_flagged"] and not exact[did]["contaminated"]
+    )
+    assert n_fp > 0  # 64 bits, ~4.6k probe shingles: FPs are certain
+
+    # production-sized filter → exact agreement on this corpus
+    big = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(docs, bench, k=8, m_bits=1 << 20).collect()
+    }
+    for did, r in big.items():
+        assert r["n_bloom_hits"] == exact[did]["n_hits"]
+        assert r["bloom_flagged"] == exact[did]["contaminated"]
