@@ -33,6 +33,7 @@ AUDITED = [
     ("doc_repetition_stats", "complete Gopher set in one plan: tagged-struct explode for n=2,3,4 counts; posexplode+join-back coverage for dup-5-grams; all shuffles keyed on doc_id[, gram] — nothing in-row O(words^2)"),
     ("doc_decontaminate", "benchmark shingles deduped + BROADCAST -> map-side hash join over exploded training shingles; zero shuffle of training text"),
     ("doc_decontaminate_bloom", "bench side folded to a bit_or bitmap (tiny agg); probe = h BROADCAST word-index joins + codegen'd bit tests; the per-doc count is the ONLY shuffle of training data"),
+    ("doc_bm25_topk", "postings filtered to query terms BEFORE any shuffle; df collapses to <=|terms| rows and broadcasts back; corpus stats = 1-row BNLJ; global top-k is TakeOrderedAndProject"),
     ("doc_rarity_stats", "corpus model built in-plan: word-keyed partial-agg count, shuffle join back on word, per-doc agg — hot keys collapse map-side"),
     ("doc_passage_overlap", "winnow fps (per-row arrays) -> df-capped fp filter -> fp self-equi-join -> pair-keyed count; no cartesian"),
     ("doc_line_dedup", "explode lines -> partial-agg min keeper per hash (map-side combine kills boilerplate keys) -> hash equi-join -> per-doc reassembly; no window on the hot key"),

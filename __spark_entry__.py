@@ -34,6 +34,12 @@ from ocr_machine_spark.operators import dedup as D
 from ocr_machine_spark.operators import similarity as S
 from ocr_machine_spark.operators import textstats as T
 from ocr_machine_spark.operators.extraction import detect_regions, extract_blocks, extract_pages
+from ocr_machine_spark.operators.search import (
+    BM25_B,
+    BM25_K1,
+    BM25_K1_PLUS_1,
+    BM25_ONE_MINUS_B,
+)
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -1371,6 +1377,20 @@ def _doc_gopher_filter(spark, sf_dir):
     return T.gopher_filter(_t(spark, sf_dir, "documents"))
 
 
+BM25_TERMS, BM25_K = ("dup", "vector", "spark"), 10
+
+
+def _doc_bm25_topk(spark, sf_dir):
+    """Keyword search over the corpus: BM25 top-10 for a three-term query
+    mixing one discriminative term (df 25 at sf0.01) with two common ones
+    (df ~385) — the ranking exercises idf spread, tf saturation, and the
+    length penalty. Exact-arithmetic gate: per-term contributions floored
+    to e4 BIGINT before the per-doc sum (operators/search.py docstring)."""
+    from ocr_machine_spark.operators.search import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), list(BM25_TERMS), k=BM25_K)
+
+
 def _url_canonical_dedup(spark, sf_dir):
     """URL canonicalization + variant rollup: each fixture url is exploded
     into five crawl-realistic variants (tracking params, fragment, trailing
@@ -1476,16 +1496,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_quota_sample": _doc_source_quota_sample,
         "host_pagerank": _host_pagerank,
         "extraction_outlinks": _extraction_outlinks,
+        # round-5 rotation #4: the BM25 search tier enters the gate window
+        # (a webtext engine's read side — new capability); semi_join_customers
+        # moves below: LeftSemi keeps a driver-gated representative inside
+        # corpus_curation_stats' dedup survivor semi-join, and the standalone
+        # query stays parity-gated locally.
+        "doc_bm25_topk": _doc_bm25_topk,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_region_revenue": _q5_region_revenue,
         "filter_pushdown_scan": _filter_pushdown_scan,
-        "semi_join_customers": _semi_join_customers,
         "asof_purchase_before_click": _asof_purchase_before_click,
         "sessionize_events": _sessionize_events,
         "agg_stats_lineitem": _agg_stats_lineitem,
         "set_ops_custkeys": _set_ops_custkeys,
         # ---- position 51+: surface breadth, locally gated only ----
+        "semi_join_customers": _semi_join_customers,
         "broadcast_brand_agg": _broadcast_brand_agg,
         "anti_join_customers": _anti_join_customers,
         "full_outer_join_counts": _full_outer_join_counts,
@@ -2278,6 +2304,36 @@ hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM dsh JOIN bsh USI
 SELECT d.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
        coalesce(n_hits, 0) > 0 AS contaminated
 FROM d LEFT JOIN hits USING (doc_id)
+""",
+        "doc_bm25_topk": f"""
+WITH d AS (SELECT doc_id, {_norm("coalesce(text, '')")} AS tx FROM documents),
+l AS (SELECT doc_id, CAST({_sql_toks('tx')} AS BIGINT) AS dl FROM d),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM l),
+hits AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(tx, ' ')) AS term FROM d)
+  WHERE term IN {BM25_TERMS!r}
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY term),
+scored AS (
+  SELECT h.doc_id,
+         CAST(floor(10000.0
+           * ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+           * ((CAST(tf AS DOUBLE) * {BM25_K1_PLUS_1})
+              / (CAST(tf AS DOUBLE)
+                 + {BM25_K1} * ({BM25_ONE_MINUS_B}
+                    + {BM25_B} * (CAST(dl AS DOUBLE)
+                                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+         ) AS BIGINT) AS term_e4
+  FROM hits h JOIN dfreq USING (term) JOIN l USING (doc_id), stats
+)
+SELECT doc_id,
+       CAST(sum(term_e4) AS BIGINT) AS score_e4,
+       CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY score_e4 DESC, doc_id
+LIMIT {BM25_K}
 """,
         "doc_decontaminate_bloom": f"""
 WITH d AS (SELECT doc_id, {_norm("coalesce(text, '')")} AS tx FROM documents),

@@ -85,6 +85,7 @@ HEADLINE = [
     "doc_gopher_filter",
     "doc_decontaminate",
     "doc_decontaminate_bloom",
+    "doc_bm25_topk",
     "doc_rarity_stats",
     "doc_passage_overlap",
     "doc_line_dedup",

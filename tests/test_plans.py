@@ -132,7 +132,10 @@ def test_no_cross_join_in_any_query(spark):
     # - ann_cosine_topk: brute-force baseline BY DESIGN — BNLJ vs a 5-row
     #   broadcast query side; output is n×5, the scan streams once
     # - blocks_integrity: crossJoin of two 1-row global aggregates
-    TINY_SIDE_OK = {"ann_cosine_topk", "blocks_integrity"}
+    # - doc_bm25_topk: corpus stats (N, Σdl) are a ONE-ROW global aggregate
+    #   cross-joined onto the query-term hits — a scalar broadcast, not a
+    #   data-sized side
+    TINY_SIDE_OK = {"ann_cosine_topk", "blocks_integrity", "doc_bm25_topk"}
 
     for name, fn in E.queries().items():
         if name == "streaming_host_totals":

@@ -411,3 +411,45 @@ def test_bloom_decontaminate_superset_of_exact(spark):
     for did, r in big.items():
         assert r["n_bloom_hits"] == exact[did]["n_hits"]
         assert r["bloom_flagged"] == exact[did]["contaminated"]
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 against an independent pure-Python computation on a tiny corpus
+    (idf surrogate, tf saturation, length penalty, e4 flooring, tiebreak)."""
+    import math
+
+    from ocr_machine_spark.operators.search import bm25_topk
+
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "apple apple apple apple apple apple"),
+        (3, "banana cherry date elderberry fig grape"),
+        (4, "unrelated words only here today friend"),
+        (5, "apple banana"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(docs, ["apple", "banana"], k=5).collect()
+
+    toks = {d: t.split(" ") for d, t in rows}
+    n, sum_dl = len(rows), sum(len(v) for v in toks.values())
+    avgdl = sum_dl / n
+    df = {
+        t: sum(1 for v in toks.values() if t in v) for t in ("apple", "banana")
+    }
+    exp = {}
+    for d, v in toks.items():
+        s, hit = 0, 0
+        for t in ("apple", "banana"):
+            tf = v.count(t)
+            if not tf:
+                continue
+            hit += 1
+            idf = (n - df[t] + 0.5) / (df[t] + 0.5)
+            w = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len(v) / avgdl)))
+            s += math.floor(10000.0 * idf * w)
+        if hit:
+            exp[d] = (s, hit)
+    expected = sorted(exp.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    assert [(r["doc_id"], (r["score_e4"], r["n_terms_hit"])) for r in out] == expected
+    # doc 2 (pure tf) saturates: more apples ≠ linear score growth
+    assert exp[2][0] < 2 * exp[1][0]
