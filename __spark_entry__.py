@@ -1032,6 +1032,21 @@ def _extraction_outlinks(spark, sf_dir):
     return extract_outlinks(_fixture_pages(spark, N_E2E), partitions=8)
 
 
+def _anchor_text_index(spark, sf_dir):
+    """Incoming-anchor-text index over the REAL extraction path: top-3
+    anchor terms per link target across the fixture corpus's nav +
+    link-farm anchors. The oracle computes the same index from the
+    by-construction link goldens, so a hash match certifies extraction,
+    normalization, the (target, term) aggregation, and the group-limited
+    ranking end-to-end."""
+    from ocr_machine_spark.operators.extraction import extract_outlinks
+    from ocr_machine_spark.operators.graphs import anchor_text_index
+
+    return anchor_text_index(
+        extract_outlinks(_fixture_pages(spark, N_E2E), partitions=8), j=3
+    )
+
+
 def _blocks_by_type(spark, sf_dir):
     blocks = extract_blocks(_fixture_pages(spark, N_E2E))
     return blocks.groupBy("block_type").agg(
@@ -1553,6 +1568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 late: quality tiering (composition of gated doc_quality +
         # the demonstrated distributed ntile — parity-gated)
         "doc_quality_tiers": _doc_quality_tiers,
+        # round 5 late: incoming-anchor-text index over the real extraction
+        # path, oracled against the by-construction link goldens
+        "anchor_text_index": _anchor_text_index,
     }
 
 
@@ -2735,6 +2753,23 @@ FROM (SELECT url, unnest(removed_spans) AS s FROM '{g_e2e}')
 """,
         "extraction_outlinks": f"""
 SELECT url, pos, href, anchor FROM '{outlink_golden_parquet(N_E2E)}'
+""",
+        "anchor_text_index": f"""
+WITH t AS (
+  SELECT href AS target,
+         unnest(string_split({_norm("anchor")}, ' ')) AS term
+  FROM '{outlink_golden_parquet(N_E2E)}'
+),
+c AS (
+  SELECT target, term, CAST(count(*) AS BIGINT) AS tf
+  FROM t WHERE term <> '' GROUP BY target, term
+),
+r AS (
+  SELECT target, term, tf,
+         CAST(row_number() OVER (PARTITION BY target ORDER BY tf DESC, term) AS BIGINT) AS rank
+  FROM c
+)
+SELECT target, term, tf, rank FROM r WHERE rank <= 3
 """,
         "url_canonical_dedup": f"""
 WITH v AS (

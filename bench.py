@@ -95,6 +95,7 @@ HEADLINE = [
     "doc_pack_plan",
     "host_pagerank",
     "extraction_outlinks",
+    "anchor_text_index",
 ]
 
 

@@ -111,3 +111,50 @@ def host_pagerank(
             "rank_e9",
         )
     )
+
+
+def anchor_text_index(
+    outlinks: DataFrame,
+    j: int = 3,
+    *,
+    target: str = "href",
+    anchor: str = "anchor",
+) -> DataFrame:
+    """Incoming-anchor-text index — the web-scale training signal attached
+    to a TARGET url: the texts other pages use to link to it (search
+    engines and LLM-data pipelines both consume this as a description of
+    the target written by third parties).
+
+    → (target, term, tf, rank): the top-``j`` normalized anchor terms per
+    target by term frequency across ALL inlinks, rank 1-based with
+    (tf DESC, term ASC) total order — deterministic under any partitioning.
+
+    Scale shape: one (target, term) partial-count agg (map-side combine
+    collapses hot nav terms before the shuffle), then a row_number window
+    whose ``rank <= j`` filter Spark rewrites into WindowGroupLimit — the
+    partial top-j runs BELOW the exchange (verified plan shape, see
+    BENCH/ivf_skew_bench.json), so a mega-target (every page linking to
+    one homepage) ships at most j rows per upstream partition, never its
+    full inlink term stream. Deliberately NO whole-partition aggregate
+    (e.g. a per-target term total) rides the same window: an unbounded
+    frame would force every row through the exchange and defeat the
+    group-limit pushdown — totals belong in a separate aggregation.
+    """
+    from pyspark.sql import Window
+
+    from ocr_machine_spark.functions import norm_text
+
+    terms = outlinks.select(
+        F.col(target).alias("target"),
+        F.explode(F.split(norm_text(anchor), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("target", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    w = Window.partitionBy("target").orderBy(F.col("tf").desc(), F.col("term"))
+    return (
+        counts.select(
+            "target", "term", "tf", F.row_number().over(w).cast("long").alias("rank")
+        )
+        .filter(F.col("rank") <= j)
+    )

@@ -110,3 +110,32 @@ def test_linkgraph_job_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/ranks").collect()
     )
     assert s1["n_links"] == s2["n_links"] and ranks1 == ranks2
+
+
+def test_anchor_text_index_semantics_and_plan(spark):
+    """Anchor index: per-target top-j terms by tf with (tf desc, term asc)
+    total order; and the rank<=j filter must compile to WindowGroupLimit so
+    a mega-target pre-prunes below the exchange (the 100-TB shape)."""
+    from ocr_machine_spark.operators.graphs import anchor_text_index
+
+    rows = [
+        ("a", "/x", "Click  HERE"),
+        ("b", "/x", "click here"),
+        ("c", "/x", "best site ever"),
+        ("d", "/x", "here"),
+        ("e", "/y", "only one"),
+        ("f", "/y", ""),
+    ]
+    links = spark.createDataFrame(rows, "url string, href string, anchor string")
+    out = anchor_text_index(links, j=2)
+    got = {(r["target"], r["rank"]): (r["term"], r["tf"]) for r in out.collect()}
+    # /x terms: here=3, click=2, best=1, site=1, ever=1 → top-2 = here, click
+    assert got[("/x", 1)] == ("here", 3)
+    assert got[("/x", 2)] == ("click", 2)
+    # /y: one=1, only=1 → tf tie broken by term asc
+    assert got[("/y", 1)] == ("one", 1)
+    assert got[("/y", 2)] == ("only", 1)
+    assert len(got) == 4
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
