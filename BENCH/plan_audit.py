@@ -35,7 +35,7 @@ AUDITED = [
     ("doc_decontaminate_bloom", "bench side folded to a bit_or bitmap (tiny agg); probe = h BROADCAST word-index joins + codegen'd bit tests; the per-doc count is the ONLY shuffle of training data"),
     ("doc_bm25_topk", "postings filtered to query terms BEFORE any shuffle; df collapses to <=|terms| rows and broadcasts back; corpus stats = 1-row BNLJ; global top-k is TakeOrderedAndProject"),
     ("doc_rarity_stats", "corpus model built in-plan: word-keyed partial-agg count, shuffle join back on word, per-doc agg — hot keys collapse map-side"),
-    ("doc_passage_overlap", "winnow fps (per-row arrays) -> df-capped fp filter -> fp self-equi-join -> pair-keyed count; no cartesian"),
+    ("doc_passage_overlap", "winnow fps (per-row arrays) -> df-capped fp filter -> ONE fp-keyed collect_list groupBy + in-row pair generation (replaced the 4x-recompute self-join) -> pair-keyed count; df cap bounds the per-fp pair array"),
     ("doc_line_dedup", "explode lines -> partial-agg min keeper per hash (map-side combine kills boilerplate keys) -> hash equi-join -> per-doc reassembly; no window on the hot key"),
     ("doc_source_quota_sample", "WindowGroupLimit BELOW the exchange: partial per-partition top-cap before the shuffle"),
     ("doc_domain_stats", "host-keyed agg; count_distinct expands to a (host,fp) partial agg so mega-host rows combine map-side; spam verdict is a post-agg projection, no second pass"),

@@ -346,6 +346,9 @@ def resolve_href(base_url: str, href: str) -> str | None:
       javascript:, tel: … are not crawlable links);
     * protocol-relative ``//host/…`` → base scheme + href;
     * root-relative ``/…`` → base ``scheme://authority`` + href;
+    * query-relative ``?page=2`` → base path kept verbatim (filename
+      included), query replaced (RFC 3986 §5.3 merge — ubiquitous
+      pagination markup);
     * fragment-only ``#…`` and empty → dropped (self-reference);
     * path-relative ``x/y`` → resolved against the base path's directory
       (no ``.``/``..`` normalization — crawl frontiers canonicalize later,
@@ -365,6 +368,9 @@ def resolve_href(base_url: str, href: str) -> str | None:
         return f"{scheme}{href}"
     if href.startswith("/"):
         return f"{scheme}//{auth}{href}"
+    if href.startswith("?"):
+        full_path = base_url[m.end() :].split("?", 1)[0].split("#", 1)[0] or "/"
+        return f"{scheme}//{auth}{full_path}{href}"
     base_path = base_url[m.end() :].split("?", 1)[0].split("#", 1)[0]
     base_dir = base_path[: base_path.rfind("/") + 1] or "/"
     return f"{scheme}//{auth}{base_dir}{href}"

@@ -621,6 +621,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         while True:
             if data[pos] != 0xFF:
                 raise ValueError("JPEG marker sync lost")
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+            # marker — skip them, or the padding 0xFF is taken as the marker
+            # byte and the REAL marker is misread as a segment length
+            while data[pos + 1] == 0xFF:
+                pos += 1
             marker = data[pos + 1]
             pos += 2
             if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:

@@ -94,6 +94,30 @@ def main(argv: list[str] | None = None) -> None:
     looks_like_table = "/" not in args.input and "\\" not in args.input and not args.input.startswith("file:")
     is_table = looks_like_table and spark.catalog.tableExists(args.input)
     pages = spark.table(args.input) if is_table else spark.read.parquet(args.input)
+
+    # one warning policy for every branch: flags that don't apply to the
+    # selected job are named, never silently ignored
+    inapplicable = {
+        "extract": (("--dedup-lines", args.dedup_lines, False),),
+        "linkgraph": (
+            ("--buckets", args.buckets, 256),
+            ("--output-table", args.output_table, None),
+            ("--dedup-lines", args.dedup_lines, False),
+        ),
+        "curate": (
+            ("--buckets", args.buckets, 256),
+            ("--partitions", args.partitions, None),
+            ("--output-table", args.output_table, None),
+        ),
+    }[args.job]
+    ignored = [name for name, val, default in inapplicable if val != default]
+    if ignored:
+        print(
+            f"WARNING: {', '.join(ignored)} do not apply to --job {args.job} "
+            "and are ignored",
+            file=sys.stderr,
+        )
+
     if args.job == "linkgraph":
         from ocr_machine_spark.plans.linkgraph import run_linkgraph
 
@@ -110,21 +134,6 @@ def main(argv: list[str] | None = None) -> None:
     if args.job == "curate":
         from ocr_machine_spark.plans.curate import run_curation
 
-        ignored = [
-            name
-            for name, val, default in (
-                ("--buckets", args.buckets, 256),
-                ("--partitions", args.partitions, None),
-                ("--output-table", args.output_table, None),
-            )
-            if val != default
-        ]
-        if ignored:
-            print(
-                f"WARNING: {', '.join(ignored)} only apply to --job extract; "
-                "curation is a pure overwrite job and ignores them",
-                file=sys.stderr,
-            )
         stats = run_curation(
             spark,
             pages,

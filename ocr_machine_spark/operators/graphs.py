@@ -102,8 +102,13 @@ def host_pagerank(
                 f"CAST((({base} + {beta_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100) AS BIGINT)"
             ).alias("rank_e9"),
         )
+    # out_degree for the result comes from the CHECKPOINTED table, not the
+    # original `odeg` lineage — that column would re-scan the raw edges and
+    # repeat the distinct+degree shuffles a second time at 100 TB (the exact
+    # re-derivation the barrier above exists to prevent).
+    odeg_ck = ed.groupBy("src").agg(F.max("odeg").alias("odeg"))
     return (
-        nodes.join(odeg, nodes["node"] == odeg["src"], "left")
+        nodes.join(odeg_ck, nodes["node"] == odeg_ck["src"], "left")
         .join(r, "node")
         .select(
             "node",

@@ -781,6 +781,15 @@ def bloom_decontaminate(
     corpus-hygiene pass of SURVEY.md §2's curation tier.
     """
 
+    # md5 yields 32 hex chars = at most FOUR non-overlapping 8-char slices;
+    # a fifth would substring past the end, Spark conv('') returns NULL, and
+    # every probe would silently evaluate false — a total false-negative
+    # result from an operator whose contract is zero false negatives.
+    if not 1 <= n_hashes <= 4:
+        raise ValueError("n_hashes must be in [1, 4] (md5 provides 4 disjoint 32-bit slices)")
+    if m_bits < 32 or m_bits > 1 << 32:
+        raise ValueError("m_bits must be in [32, 2^32] (32-bit hash slices index the bitmap)")
+
     def _positions(sh) -> list[F.Column]:
         return [
             (F.conv(F.substring(F.md5(sh), 1 + 8 * j, 8), 16, 10).cast("long") % m_bits)

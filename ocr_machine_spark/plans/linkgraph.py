@@ -45,7 +45,14 @@ def host_edges(pages: DataFrame, *, partitions: int | None = None) -> DataFrame:
             host_of(F.col("url")).alias("src_host"),
             host_of(F.col("href")).alias("dst_host"),
         )
-        .where((F.col("src_host") != F.col("dst_host")) & (F.col("dst_host") != ""))
+        # both ends must be real hosts: an unparseable page url maps to
+        # src_host '' (host_of's spec) and would otherwise enter the graph
+        # as a phantom node donating rank mass
+        .where(
+            (F.col("src_host") != F.col("dst_host"))
+            & (F.col("dst_host") != "")
+            & (F.col("src_host") != "")
+        )
         .groupBy("src_host", "dst_host")
         .agg(F.count("*").alias("n_links"))
     )

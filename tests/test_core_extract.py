@@ -319,6 +319,10 @@ def test_resolve_href_spec():
     assert resolve_href("not a url", "/x") is None
     # base with no path: directory is "/"
     assert resolve_href("https://a.com", "p") == "https://a.com/p"
+    # query-relative (pagination markup): base path kept VERBATIM including
+    # the filename, query replaced (RFC 3986 §5.3 merge)
+    assert resolve_href(base, "?page=2") == "https://www.Ex.com:8080/a/b?page=2"
+    assert resolve_href("https://a.com", "?x=1") == "https://a.com/?x=1"
 
 
 def test_outlinks_one_document_order_and_nesting():

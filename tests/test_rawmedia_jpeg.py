@@ -164,3 +164,16 @@ def test_encode_jpeg_rejects_bad_input():
         RM.encode_jpeg(np.zeros((4, 4, 4), dtype=np.uint8))
     with pytest.raises(ValueError):
         RM.encode_jpeg(np.zeros((0, 8), dtype=np.uint8))
+
+
+def test_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a marker.
+    Other encoders emit them; a padding 0xFF must not be consumed as the
+    marker byte (which misreads the real marker as a segment length)."""
+    img = np.full((16, 16), 128, dtype=np.uint8)
+    data = RM.encode_jpeg(img)
+    # splice fill bytes before the first post-SOI marker and before EOI
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    padded = data[:2] + b"\xff\xff\xff" + data[2:-2] + b"\xff\xff" + data[-2:]
+    back = RM.decode_jpeg(padded)
+    np.testing.assert_array_equal(back, RM.decode_jpeg(data))
