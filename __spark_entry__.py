@@ -1032,6 +1032,28 @@ def _extraction_outlinks(spark, sf_dir):
     return extract_outlinks(_fixture_pages(spark, N_E2E), partitions=8)
 
 
+def _warc_ingest(spark, sf_dir):
+    """Crawl-archive ingest head: WARC/1.0 files (one plain, one
+    member-per-record gzip, each led by a warcinfo record the parser must
+    skip) → the pages-table shape. The oracle is the fixture's
+    by-construction golden, so a hash match certifies record framing, the
+    gzip-member stream, HTTP head parsing (status/mime vary by
+    construction), and byte-exact body recovery (md5 over raw html)."""
+    from ocr_machine_spark.sources.warc import read_warc, warc_fixture
+
+    warc_dir, _ = warc_fixture(N_E2E)
+    return read_warc(spark, warc_dir).select(
+        "url",
+        F.expr("unix_micros(cast(warc_ts as timestamp_ltz)) div 1000000").alias(
+            "ts_epoch"
+        ),
+        "status",
+        "mime",
+        F.md5("html").alias("html_md5"),
+        F.length("html").cast("long").alias("n_bytes"),
+    )
+
+
 def _anchor_text_index(spark, sf_dir):
     """Incoming-anchor-text index over the REAL extraction path: top-3
     anchor terms per link target across the fixture corpus's nav +
@@ -1571,6 +1593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 late: incoming-anchor-text index over the real extraction
         # path, oracled against the by-construction link goldens
         "anchor_text_index": _anchor_text_index,
+        # round 5 late: crawl-archive ingest head (WARC → pages table),
+        # oracled against the fixture's by-construction golden
+        "warc_ingest": _warc_ingest,
     }
 
 
@@ -2731,6 +2756,7 @@ def _golden_oracles() -> dict[str, str]:
     DuckDB can't parse HTML, but it doesn't need to: the goldens ARE the
     expected output, so hash-match means byte-identical extraction."""
     from ocr_machine_spark.sources.pages import golden_parquet, outlink_golden_parquet
+    from ocr_machine_spark.sources.warc import warc_fixture
 
     g_e2e = golden_parquet(N_E2E)
     g_blk = golden_parquet(N_BLOCKS)
@@ -2753,6 +2779,10 @@ FROM (SELECT url, unnest(removed_spans) AS s FROM '{g_e2e}')
 """,
         "extraction_outlinks": f"""
 SELECT url, pos, href, anchor FROM '{outlink_golden_parquet(N_E2E)}'
+""",
+        "warc_ingest": f"""
+SELECT url, ts_epoch, status, mime, html_md5, n_bytes
+FROM '{warc_fixture(N_E2E)[1]}'
 """,
         "anchor_text_index": f"""
 WITH t AS (

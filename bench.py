@@ -96,6 +96,7 @@ HEADLINE = [
     "host_pagerank",
     "extraction_outlinks",
     "anchor_text_index",
+    "warc_ingest",
 ]
 
 

@@ -64,6 +64,15 @@ def main(argv: list[str] | None = None) -> None:
         "catalog is configured on the session, else parquet under --output",
     )
     ap.add_argument(
+        "--input-format",
+        choices=("auto", "parquet", "table", "warc"),
+        default="auto",
+        help="auto (default): catalog table if the identifier resolves, else "
+        "parquet; warc: raw crawl archives (WARC/1.0, plain or "
+        "member-per-record gzip) ingested via sources.warc.read_warc — "
+        "point --input at the archive directory",
+    )
+    ap.add_argument(
         "--job",
         choices=("extract", "curate", "linkgraph"),
         default="extract",
@@ -91,9 +100,18 @@ def main(argv: list[str] | None = None) -> None:
     # route to the catalog only when the identifier actually resolves there:
     # a separator-free heuristic alone would send a bare relative filename
     # ('pages.parquet') to spark.table() and die with TABLE_OR_VIEW_NOT_FOUND
-    looks_like_table = "/" not in args.input and "\\" not in args.input and not args.input.startswith("file:")
-    is_table = looks_like_table and spark.catalog.tableExists(args.input)
-    pages = spark.table(args.input) if is_table else spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from ocr_machine_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.input)
+    elif args.input_format == "table":
+        pages = spark.table(args.input)
+    elif args.input_format == "parquet":
+        pages = spark.read.parquet(args.input)
+    else:
+        looks_like_table = "/" not in args.input and "\\" not in args.input and not args.input.startswith("file:")
+        is_table = looks_like_table and spark.catalog.tableExists(args.input)
+        pages = spark.table(args.input) if is_table else spark.read.parquet(args.input)
 
     # one warning policy for every branch: flags that don't apply to the
     # selected job are named, never silently ignored

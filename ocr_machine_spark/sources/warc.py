@@ -1,0 +1,291 @@
+"""WARC ingest — the wire format a Common-Crawl-style corpus arrives in.
+
+The engine's pages table (url, warc_ts, html, …) is downstream of web
+archives; this source closes the gap: WARC/1.0 files (ISO 28500) → the
+pages-table shape, so a user can point the extraction job at raw crawl
+output. Reference twin: the S3 document-ingest stage of the reference's
+flow (SURVEY.md §2 S-tier) — its inputs are scanned PDFs in a bucket,
+ours are crawl archives.
+
+Format support (documented subset, strict errors outside it):
+* WARC/1.0 records, uncompressed or **gzip-per-record** (the Common
+  Crawl convention: each record its own gzip member, so readers can
+  stream without decompressing the whole file);
+* ``response`` records become rows; ``warcinfo``/``request``/``metadata``
+  records are structural and skipped;
+* the HTTP payload is split at its header/body boundary: status code and
+  Content-Type come from the response head, ``html`` is the raw body
+  bytes (charset sniffing happens later, in core.extract — ingest never
+  decodes).
+
+Scale shape: one WARC file = one task (``binaryFile`` row) = one
+streaming parse — records are yielded one at a time and re-batched, so
+task memory is O(file + one Arrow batch), the standard Common-Crawl
+processing grain (~1 GB gz files, parallelism = file count). No shuffle
+anywhere: ingest is a pure mapInArrow projection; partitioning for
+downstream joins happens in extract_pages' salted repartition.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from collections.abc import Iterator
+from datetime import datetime
+
+CRLF2 = b"\r\n\r\n"
+
+
+def _http_date(ts: datetime) -> str:
+    return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def encode_warc_record(
+    url: str,
+    warc_ts: datetime,
+    body: bytes,
+    *,
+    status: int = 200,
+    mime: str = "text/html",
+    record_id: str | None = None,
+) -> bytes:
+    """One WARC/1.0 ``response`` record (uncompressed) — the fixture/test
+    encoder twin of ``iter_warc_records`` (same role as encode_jpeg for the
+    JPEG decoder: by-construction inputs, no third-party writer)."""
+    http_head = (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {mime}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("ascii")
+    payload = http_head + body
+    rid = record_id or f"<urn:uuid:{abs(hash((url, len(body)))):032x}>"
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Record-ID: {rid}\r\n"
+        f"WARC-Date: {_http_date(warc_ts)}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode("ascii")
+    return head + payload + CRLF2
+
+
+def encode_warcinfo(filename: str) -> bytes:
+    """A leading ``warcinfo`` record (real WARCs always carry one — the
+    parser must skip it, and the fixtures make sure it does)."""
+    body = f"software: ocr-machine-spark\r\nisPartOf: {filename}\r\n".encode("ascii")
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: warcinfo\r\n"
+        "WARC-Record-ID: <urn:uuid:0>\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        "Content-Type: application/warc-fields\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("ascii")
+    return head + body + CRLF2
+
+
+def _gzip_member(record: bytes) -> bytes:
+    # mtime pinned so fixture bytes are deterministic
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(record)
+    return buf.getvalue()
+
+
+def encode_warc_file(records: list[bytes], *, per_record_gzip: bool = False) -> bytes:
+    """Concatenate encoded records into a .warc (plain) or .warc.gz
+    (member-per-record, the Common Crawl layout) byte stream."""
+    if per_record_gzip:
+        return b"".join(_gzip_member(r) for r in records)
+    return b"".join(records)
+
+
+def _iter_plain(data: bytes) -> Iterator[bytes]:
+    """Yield raw record byte-spans (headers+payload) from uncompressed WARC."""
+    pos, n = 0, len(data)
+    while pos < n:
+        if data[pos:pos + 5] != b"WARC/":
+            raise ValueError(f"WARC record sync lost at offset {pos}")
+        hdr_end = data.find(CRLF2, pos)
+        if hdr_end < 0:
+            raise ValueError("truncated WARC header")
+        headers = data[pos:hdr_end].decode("ascii", "replace")
+        clen = None
+        for line in headers.split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            if k.strip().lower() == "content-length":
+                clen = int(v.strip())
+        if clen is None:
+            raise ValueError("WARC record missing Content-Length")
+        body_start = hdr_end + 4
+        body_end = body_start + clen
+        if body_end > n:
+            raise ValueError("truncated WARC payload")
+        yield data[pos:body_end]
+        # two CRLFs close a record; tolerate EOF right after the payload
+        pos = body_end
+        while data[pos:pos + 2] == b"\r\n":
+            pos += 2
+
+
+def _iter_members(data: bytes) -> Iterator[bytes]:
+    """Yield decompressed gzip members one at a time (streaming — never
+    inflate the whole file at once)."""
+    pos, n = 0, len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        member = d.decompress(data[pos:])
+        if not d.eof:
+            raise ValueError("truncated gzip member in .warc.gz")
+        yield member
+        consumed = (n - pos) - len(d.unused_data)
+        pos += consumed
+
+
+def iter_warc_records(data: bytes) -> Iterator[dict]:
+    """WARC file bytes (plain or member-per-record gzip) → one dict per
+    ``response`` record: url, warc_ts (naive UTC datetime — the pages-table
+    convention), status, mime, html (raw body bytes)."""
+    if data[:2] == b"\x1f\x8b":
+        spans: Iterator[bytes] = (
+            rec for member in _iter_members(data) for rec in _iter_plain(member)
+        )
+    else:
+        spans = _iter_plain(data)
+    for raw in spans:
+        hdr_end = raw.find(CRLF2)
+        fields: dict[str, str] = {}
+        for line in raw[:hdr_end].decode("ascii", "replace").split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        if fields.get("warc-type") != "response":
+            continue
+        payload = raw[hdr_end + 4:]
+        http_end = payload.find(CRLF2)
+        if http_end < 0:
+            raise ValueError("WARC response payload is not HTTP (no header end)")
+        head_lines = payload[:http_end].decode("ascii", "replace").split("\r\n")
+        try:
+            status = int(head_lines[0].split(" ", 2)[1])
+        except (IndexError, ValueError) as exc:
+            raise ValueError(f"bad HTTP status line: {head_lines[0]!r}") from exc
+        mime = ""
+        for line in head_lines[1:]:
+            k, _, v = line.partition(":")
+            if k.strip().lower() == "content-type":
+                mime = v.strip().split(";", 1)[0].strip()
+        yield {
+            "url": fields.get("warc-target-uri", ""),
+            "warc_ts": datetime.strptime(fields["warc-date"], "%Y-%m-%dT%H:%M:%SZ"),
+            "status": status,
+            "mime": mime,
+            "html": payload[http_end + 4:],
+        }
+
+
+def read_warc(spark, path: str):
+    """WARC files under ``path`` → DataFrame(url, warc_ts, status, mime,
+    html) — the pages-table ingest head. One binaryFile row per WARC; the
+    parse is a streaming mapInArrow stage (zero per-row Python in the
+    Spark sense: Arrow-batched, no shuffle)."""
+    import pyarrow as pa
+
+    out_pa = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("status", pa.int32()),
+            ("mime", pa.string()),
+            ("html", pa.binary()),
+        ]
+    )
+
+    def parse(batches):
+        rows: list[dict] = []
+        for batch in batches:
+            contents = batch.column(batch.schema.get_field_index("content"))
+            for blob in contents:
+                for rec in iter_warc_records(blob.as_py()):
+                    rows.append(rec)
+                    if len(rows) >= 256:
+                        yield pa.RecordBatch.from_pylist(rows, schema=out_pa)
+                        rows = []
+        if rows:
+            yield pa.RecordBatch.from_pylist(rows, schema=out_pa)
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInArrow(
+        parse, "url string, warc_ts timestamp_ntz, status int, mime string, html binary"
+    )
+
+
+def warc_fixture(
+    n: int, seed: int = 42, base_dir: str = "/tmp/ocr_machine_spark_goldens"
+) -> tuple[str, str]:
+    """By-construction WARC fixture: pages [0, n) written as TWO archive
+    files — part-0.warc (plain, even i) and part-1.warc.gz (member-per-
+    record gzip, odd i), each led by a warcinfo record the parser must
+    skip — plus a golden parquet of the expected ingest rows (url,
+    ts_epoch, status, mime, html_md5, n_bytes). Status/mime vary by
+    construction so the HTTP-head parse is actually exercised. Cache tag =
+    hash of this module's source (media_golden discipline: any codec edit
+    invalidates the cache). Returns (warc_dir, golden_path)."""
+    import hashlib
+    import inspect
+    import os
+    from datetime import timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_machine_spark.fixtures import make_page
+    from ocr_machine_spark.sources import warc as _self
+
+    tag = hashlib.md5(inspect.getsource(_self).encode()).hexdigest()[:10]
+    root = os.path.join(base_dir, f"warc_fixture_{tag}_n{n}_s{seed}")
+    warc_dir = os.path.join(root, "warcs")
+    golden = os.path.join(root, "golden.parquet")
+    if os.path.exists(golden):
+        return warc_dir, golden
+    os.makedirs(warc_dir, exist_ok=True)
+
+    files: dict[int, list[bytes]] = {0: [encode_warcinfo("part-0.warc")], 1: [encode_warcinfo("part-1.warc.gz")]}
+    g: dict[str, list] = {k: [] for k in ("url", "ts_epoch", "status", "mime", "html_md5", "n_bytes")}
+    for i in range(n):
+        p = make_page(i, seed)
+        ts = datetime.fromtimestamp(p.warc_ts, tz=timezone.utc).replace(tzinfo=None)
+        status = 404 if i % 11 == 3 else 200
+        mime = "application/octet-stream" if i % 13 == 5 else "text/html"
+        files[i % 2].append(
+            encode_warc_record(p.url, ts, p.html, status=status, mime=mime)
+        )
+        g["url"].append(p.url)
+        g["ts_epoch"].append(int(p.warc_ts))
+        g["status"].append(status)
+        g["mime"].append(mime)
+        g["html_md5"].append(hashlib.md5(p.html).hexdigest())
+        g["n_bytes"].append(len(p.html))
+
+    with open(os.path.join(warc_dir, "part-0.warc"), "wb") as f:
+        f.write(encode_warc_file(files[0]))
+    with open(os.path.join(warc_dir, "part-1.warc.gz"), "wb") as f:
+        f.write(encode_warc_file(files[1], per_record_gzip=True))
+    tbl = pa.Table.from_pydict(
+        g,
+        schema=pa.schema(
+            [
+                ("url", pa.string()),
+                ("ts_epoch", pa.int64()),
+                ("status", pa.int32()),
+                ("mime", pa.string()),
+                ("html_md5", pa.string()),
+                ("n_bytes", pa.int64()),
+            ]
+        ),
+    )
+    tmp = golden + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, golden)
+    return warc_dir, golden

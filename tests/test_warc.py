@@ -1,0 +1,67 @@
+"""WARC ingest: framing, gzip-member streaming, HTTP head parse, error
+taxonomy, and the production extraction job running straight off archives."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from ocr_machine_spark.sources import warc as W
+
+
+def _rec(url="https://h.example/p", body=b"<html>x</html>", **kw) -> bytes:
+    return W.encode_warc_record(url, datetime(2024, 3, 1, 12, 0, 0), body, **kw)
+
+
+def test_roundtrip_plain_and_gzip():
+    recs = [W.encode_warcinfo("t.warc"), _rec(body=b"a" * 10), _rec(url="https://b/x", body=b"", status=404)]
+    for gz in (False, True):
+        data = W.encode_warc_file(recs, per_record_gzip=gz)
+        out = list(W.iter_warc_records(data))
+        assert [r["url"] for r in out] == ["https://h.example/p", "https://b/x"]
+        assert out[0]["html"] == b"a" * 10 and out[0]["status"] == 200
+        assert out[1]["html"] == b"" and out[1]["status"] == 404
+        assert out[0]["mime"] == "text/html"
+        assert out[0]["warc_ts"] == datetime(2024, 3, 1, 12, 0, 0)
+
+
+def test_body_bytes_are_opaque():
+    """Ingest never decodes: CRLFCRLF and non-UTF-8 bytes inside the body
+    must survive byte-exactly (Content-Length framing, not delimiters)."""
+    body = b"\xff\xfe<html>\r\n\r\nbin\x00ary</html>\r\n\r\n trailer"
+    out = list(W.iter_warc_records(_rec(body=body)))
+    assert out[0]["html"] == body
+
+
+def test_error_taxonomy():
+    good = _rec()
+    with pytest.raises(ValueError, match="sync lost"):
+        list(W.iter_warc_records(b"GARBAGE" + good))
+    with pytest.raises(ValueError, match="truncated WARC payload"):
+        list(W.iter_warc_records(good[: len(good) - 40]))
+    gz = W.encode_warc_file([good], per_record_gzip=True)
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        list(W.iter_warc_records(gz[:-5]))
+    # response payload that is not HTTP
+    bad = good.replace(b"HTTP/1.1 200 OK\r\n", b"NOPE")
+    with pytest.raises(ValueError):
+        list(W.iter_warc_records(bad))
+
+
+def test_extraction_pipeline_from_warc(spark, tmp_path):
+    """End-to-end: the production extraction plan consumes raw archives
+    (the --input-format warc path of jobs.py, minus the CLI's session
+    stop) and commits the same bucket lineage as parquet input — the
+    ingest head is schema-compatible with the pages table."""
+    from ocr_machine_spark.plans.lineage import read_extractions, run_extraction
+
+    warc_dir, _ = W.warc_fixture(40)
+    out = str(tmp_path / "out")
+    stats = run_extraction(
+        spark, W.read_warc(spark, warc_dir), out, run_id="w1", n_buckets=4
+    )
+    assert stats["buckets_committed"] == 4 and stats["pages_ok"] == 40
+    got = read_extractions(spark, out)
+    assert got.count() == 40
+    assert got.filter("ok").count() == 40
