@@ -1054,6 +1054,19 @@ def _warc_ingest(spark, sf_dir):
     )
 
 
+def _warc_cdx(spark, sf_dir):
+    """CDX index build over the WARC fixtures: (file, url, offset, length,
+    digest) per response record — offsets are compressed member spans for
+    .gz, raw record spans for plain. The golden's offsets come from
+    WRITE-side cursors (never re-parsing), so a hash match certifies the
+    random-access contract: seek offset, read length, parse one record
+    (pinned end-to-end in tests/test_warc.py)."""
+    from ocr_machine_spark.sources.warc import read_warc_cdx, warc_fixture
+
+    warc_dir, _ = warc_fixture(N_E2E)
+    return read_warc_cdx(spark, warc_dir)
+
+
 def _anchor_text_index(spark, sf_dir):
     """Incoming-anchor-text index over the REAL extraction path: top-3
     anchor terms per link target across the fixture corpus's nav +
@@ -1596,6 +1609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 late: crawl-archive ingest head (WARC → pages table),
         # oracled against the fixture's by-construction golden
         "warc_ingest": _warc_ingest,
+        # round 5 late: CDX random-access index over the same archives,
+        # offsets golden-gated from write-side cursors
+        "warc_cdx": _warc_cdx,
     }
 
 
@@ -2782,6 +2798,10 @@ SELECT url, pos, href, anchor FROM '{outlink_golden_parquet(N_E2E)}'
 """,
         "warc_ingest": f"""
 SELECT url, ts_epoch, status, mime, html_md5, n_bytes
+FROM '{warc_fixture(N_E2E)[1]}'
+""",
+        "warc_cdx": f"""
+SELECT file, url, "offset", length, html_md5 AS digest, status, mime
 FROM '{warc_fixture(N_E2E)[1]}'
 """,
         "anchor_text_index": f"""

@@ -97,6 +97,7 @@ HEADLINE = [
     "extraction_outlinks",
     "anchor_text_index",
     "warc_ingest",
+    "warc_cdx",
 ]
 
 

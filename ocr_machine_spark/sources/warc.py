@@ -102,10 +102,14 @@ def encode_warc_file(records: list[bytes], *, per_record_gzip: bool = False) -> 
     return b"".join(records)
 
 
-def _iter_plain(data: bytes) -> Iterator[bytes]:
-    """Yield raw record byte-spans (headers+payload) from uncompressed WARC."""
+def _iter_plain(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """Yield (offset, length, raw) record spans from uncompressed WARC —
+    offset/length cover the record INCLUDING its trailing CRLF pair, so
+    ``data[offset:offset+length]`` re-parses standalone (the CDX random-
+    access contract)."""
     pos, n = 0, len(data)
     while pos < n:
+        start = pos
         if data[pos:pos + 5] != b"WARC/":
             raise ValueError(f"WARC record sync lost at offset {pos}")
         hdr_end = data.find(CRLF2, pos)
@@ -123,65 +127,103 @@ def _iter_plain(data: bytes) -> Iterator[bytes]:
         body_end = body_start + clen
         if body_end > n:
             raise ValueError("truncated WARC payload")
-        yield data[pos:body_end]
         # two CRLFs close a record; tolerate EOF right after the payload
         pos = body_end
         while data[pos:pos + 2] == b"\r\n":
             pos += 2
+        yield start, pos - start, data[start:body_end]
 
 
-def _iter_members(data: bytes) -> Iterator[bytes]:
-    """Yield decompressed gzip members one at a time (streaming — never
-    inflate the whole file at once)."""
+def _iter_members(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """Yield (offset, compressed_length, member) gzip members one at a time
+    (streaming — never inflate the whole file at once). The compressed span
+    is what a CDX index stores for .warc.gz: readers range-request exactly
+    those bytes and gunzip one member."""
     pos, n = 0, len(data)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
         member = d.decompress(data[pos:])
         if not d.eof:
             raise ValueError("truncated gzip member in .warc.gz")
-        yield member
         consumed = (n - pos) - len(d.unused_data)
+        yield pos, consumed, member
         pos += consumed
+
+
+def _record_spans(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """(offset, length, raw-record) for plain or gzip WARC bytes. For .gz
+    the span is the compressed MEMBER (one record per member, the Common
+    Crawl layout); for plain it is the record's own byte range."""
+    if data[:2] == b"\x1f\x8b":
+        for moff, mlen, member in _iter_members(data):
+            for _, _, raw in _iter_plain(member):
+                yield moff, mlen, raw
+    else:
+        yield from _iter_plain(data)
+
+
+def _parse_response(raw: bytes) -> dict | None:
+    """One raw record → response dict, or None for structural records
+    (warcinfo/request/metadata)."""
+    hdr_end = raw.find(CRLF2)
+    fields: dict[str, str] = {}
+    for line in raw[:hdr_end].decode("ascii", "replace").split("\r\n")[1:]:
+        k, _, v = line.partition(":")
+        fields[k.strip().lower()] = v.strip()
+    if fields.get("warc-type") != "response":
+        return None
+    payload = raw[hdr_end + 4:]
+    http_end = payload.find(CRLF2)
+    if http_end < 0:
+        raise ValueError("WARC response payload is not HTTP (no header end)")
+    head_lines = payload[:http_end].decode("ascii", "replace").split("\r\n")
+    try:
+        status = int(head_lines[0].split(" ", 2)[1])
+    except (IndexError, ValueError) as exc:
+        raise ValueError(f"bad HTTP status line: {head_lines[0]!r}") from exc
+    mime = ""
+    for line in head_lines[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            mime = v.strip().split(";", 1)[0].strip()
+    return {
+        "url": fields.get("warc-target-uri", ""),
+        "warc_ts": datetime.strptime(fields["warc-date"], "%Y-%m-%dT%H:%M:%SZ"),
+        "status": status,
+        "mime": mime,
+        "html": payload[http_end + 4:],
+    }
 
 
 def iter_warc_records(data: bytes) -> Iterator[dict]:
     """WARC file bytes (plain or member-per-record gzip) → one dict per
     ``response`` record: url, warc_ts (naive UTC datetime — the pages-table
     convention), status, mime, html (raw body bytes)."""
-    if data[:2] == b"\x1f\x8b":
-        spans: Iterator[bytes] = (
-            rec for member in _iter_members(data) for rec in _iter_plain(member)
-        )
-    else:
-        spans = _iter_plain(data)
-    for raw in spans:
-        hdr_end = raw.find(CRLF2)
-        fields: dict[str, str] = {}
-        for line in raw[:hdr_end].decode("ascii", "replace").split("\r\n")[1:]:
-            k, _, v = line.partition(":")
-            fields[k.strip().lower()] = v.strip()
-        if fields.get("warc-type") != "response":
+    for _, _, raw in _record_spans(data):
+        rec = _parse_response(raw)
+        if rec is not None:
+            yield rec
+
+
+def iter_warc_cdx(data: bytes) -> Iterator[dict]:
+    """CDX rows for one WARC file: (url, offset, length, digest, status,
+    mime) per response record — the Common-Crawl-style random-access index
+    entry. ``offset``/``length`` are the compressed member span for .gz
+    input (range-request + gunzip one member) or the record's own byte
+    range for plain input; ``digest`` is md5 hex over the raw body."""
+    import hashlib
+
+    for off, length, raw in _record_spans(data):
+        rec = _parse_response(raw)
+        if rec is None:
             continue
-        payload = raw[hdr_end + 4:]
-        http_end = payload.find(CRLF2)
-        if http_end < 0:
-            raise ValueError("WARC response payload is not HTTP (no header end)")
-        head_lines = payload[:http_end].decode("ascii", "replace").split("\r\n")
-        try:
-            status = int(head_lines[0].split(" ", 2)[1])
-        except (IndexError, ValueError) as exc:
-            raise ValueError(f"bad HTTP status line: {head_lines[0]!r}") from exc
-        mime = ""
-        for line in head_lines[1:]:
-            k, _, v = line.partition(":")
-            if k.strip().lower() == "content-type":
-                mime = v.strip().split(";", 1)[0].strip()
         yield {
-            "url": fields.get("warc-target-uri", ""),
-            "warc_ts": datetime.strptime(fields["warc-date"], "%Y-%m-%dT%H:%M:%SZ"),
-            "status": status,
-            "mime": mime,
-            "html": payload[http_end + 4:],
+            "url": rec["url"],
+            "offset": off,
+            "length": length,
+            "digest": hashlib.md5(rec["html"]).hexdigest(),
+            "status": rec["status"],
+            "mime": rec["mime"],
         }
 
 
@@ -221,6 +263,51 @@ def read_warc(spark, path: str):
     )
 
 
+def read_warc_cdx(spark, path: str):
+    """WARC files under ``path`` → CDX index DataFrame(file, url, offset,
+    length, digest, status, mime) — the random-access map over archives
+    (Common Crawl's cdx-index artifact): readers range-request
+    [offset, offset+length) of ``file`` and gunzip/parse one record. Same
+    pure-map shape as read_warc; building the index never shuffles."""
+    import os
+
+    import pyarrow as pa
+
+    out_pa = pa.schema(
+        [
+            ("file", pa.string()),
+            ("url", pa.string()),
+            ("offset", pa.int64()),
+            ("length", pa.int64()),
+            ("digest", pa.string()),
+            ("status", pa.int32()),
+            ("mime", pa.string()),
+        ]
+    )
+
+    def parse(batches):
+        rows: list[dict] = []
+        for batch in batches:
+            paths = batch.column(batch.schema.get_field_index("path"))
+            contents = batch.column(batch.schema.get_field_index("content"))
+            for pth, blob in zip(paths, contents):
+                fname = os.path.basename(pth.as_py())
+                for row in iter_warc_cdx(blob.as_py()):
+                    rows.append({"file": fname, **row})
+                    if len(rows) >= 1024:
+                        yield pa.RecordBatch.from_pylist(rows, schema=out_pa)
+                        rows = []
+        if rows:
+            yield pa.RecordBatch.from_pylist(rows, schema=out_pa)
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInArrow(
+        parse,
+        "file string, url string, offset long, length long, "
+        "digest string, status int, mime string",
+    )
+
+
 def warc_fixture(
     n: int, seed: int = 42, base_dir: str = "/tmp/ocr_machine_spark_goldens"
 ) -> tuple[str, str]:
@@ -228,8 +315,10 @@ def warc_fixture(
     files — part-0.warc (plain, even i) and part-1.warc.gz (member-per-
     record gzip, odd i), each led by a warcinfo record the parser must
     skip — plus a golden parquet of the expected ingest rows (url,
-    ts_epoch, status, mime, html_md5, n_bytes). Status/mime vary by
-    construction so the HTTP-head parse is actually exercised. Cache tag =
+    ts_epoch, status, mime, html_md5, n_bytes, and the CDX triple
+    file/offset/length tracked by write-side cursors, never by re-parsing).
+    Status/mime vary by construction so the HTTP-head parse is actually
+    exercised. Cache tag =
     hash of this module's source (media_golden discipline: any codec edit
     invalidates the cache). Returns (warc_dir, golden_path)."""
     import hashlib
@@ -251,22 +340,39 @@ def warc_fixture(
         return warc_dir, golden
     os.makedirs(warc_dir, exist_ok=True)
 
-    files: dict[int, list[bytes]] = {0: [encode_warcinfo("part-0.warc")], 1: [encode_warcinfo("part-1.warc.gz")]}
-    g: dict[str, list] = {k: [] for k in ("url", "ts_epoch", "status", "mime", "html_md5", "n_bytes")}
+    fnames = {0: "part-0.warc", 1: "part-1.warc.gz"}
+    files: dict[int, list[bytes]] = {0: [encode_warcinfo(fnames[0])], 1: [encode_warcinfo(fnames[1])]}
+    # by-construction CDX cursors: plain file offsets advance by raw record
+    # length, gz offsets by the compressed member length — computed while
+    # WRITING, never by re-parsing (the golden must be independent of the
+    # parser under test)
+    cursors = {0: len(files[0][0]), 1: len(_gzip_member(files[1][0]))}
+    g: dict[str, list] = {
+        k: []
+        for k in (
+            "url", "ts_epoch", "status", "mime", "html_md5", "n_bytes",
+            "file", "offset", "length",
+        )
+    }
     for i in range(n):
         p = make_page(i, seed)
         ts = datetime.fromtimestamp(p.warc_ts, tz=timezone.utc).replace(tzinfo=None)
         status = 404 if i % 11 == 3 else 200
         mime = "application/octet-stream" if i % 13 == 5 else "text/html"
-        files[i % 2].append(
-            encode_warc_record(p.url, ts, p.html, status=status, mime=mime)
-        )
+        rec = encode_warc_record(p.url, ts, p.html, status=status, mime=mime)
+        f = i % 2
+        files[f].append(rec)
+        span = len(rec) if f == 0 else len(_gzip_member(rec))
         g["url"].append(p.url)
         g["ts_epoch"].append(int(p.warc_ts))
         g["status"].append(status)
         g["mime"].append(mime)
         g["html_md5"].append(hashlib.md5(p.html).hexdigest())
         g["n_bytes"].append(len(p.html))
+        g["file"].append(fnames[f])
+        g["offset"].append(cursors[f])
+        g["length"].append(span)
+        cursors[f] += span
 
     with open(os.path.join(warc_dir, "part-0.warc"), "wb") as f:
         f.write(encode_warc_file(files[0]))
@@ -282,6 +388,9 @@ def warc_fixture(
                 ("mime", pa.string()),
                 ("html_md5", pa.string()),
                 ("n_bytes", pa.int64()),
+                ("file", pa.string()),
+                ("offset", pa.int64()),
+                ("length", pa.int64()),
             ]
         ),
     )

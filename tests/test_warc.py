@@ -65,3 +65,39 @@ def test_extraction_pipeline_from_warc(spark, tmp_path):
     got = read_extractions(spark, out)
     assert got.count() == 40
     assert got.filter("ok").count() == 40
+
+
+def test_cdx_random_access_contract():
+    """The CDX triple must support the real consumer pattern: range-read
+    [offset, offset+length) of the named file, gunzip if .gz, parse ONE
+    standalone record byte-identically."""
+    import gzip as _gzip
+    import hashlib
+
+    import duckdb
+
+    warc_dir, golden = W.warc_fixture(50)
+    gold = duckdb.sql(f"SELECT * FROM '{golden}'").df()
+    blobs = {
+        fn: open(f"{warc_dir}/{fn}", "rb").read()
+        for fn in ("part-0.warc", "part-1.warc.gz")
+    }
+    # parser-side CDX must equal the write-side golden exactly
+    got = sorted(
+        ({"file": fn, **r} for fn in blobs for r in W.iter_warc_cdx(blobs[fn])),
+        key=lambda r: r["url"],
+    )
+    gold = gold.sort_values("url").reset_index(drop=True)
+    assert len(got) == len(gold) == 50
+    for r, (_, w) in zip(got, gold.iterrows()):
+        assert (r["file"], r["offset"], r["length"], r["digest"]) == (
+            w.file, w.offset, w.length, w.html_md5,
+        )
+    # random access on every record of both layouts
+    for _, w in gold.iloc[::7].iterrows():
+        span = blobs[w.file][w.offset:w.offset + w.length]
+        if w.file.endswith(".gz"):
+            span = _gzip.decompress(span)
+        rec = next(W.iter_warc_records(span))
+        assert rec["url"] == w.url
+        assert hashlib.md5(rec["html"]).hexdigest() == w.html_md5
