@@ -74,14 +74,16 @@ def main(argv: list[str] | None = None) -> None:
     )
     ap.add_argument(
         "--job",
-        choices=("extract", "curate", "linkgraph"),
+        choices=("extract", "curate", "linkgraph", "cdx"),
         default="extract",
         help="extract (default): bucket-committed incremental extraction of a "
         "pages table; curate: Gopher quality filter + exact-dedup survivor "
         "selection over a documents table (deterministic pure function — "
         "idempotent via overwrite, no bucket lineage needed); linkgraph: "
         "host-level edge list + exact-integer PageRank over a pages table "
-        "(pure overwrite job, same idempotence argument as curate)",
+        "(pure overwrite job, same idempotence argument as curate); cdx: "
+        "url-sorted random-access index over WARC archives (--input is the "
+        "archive dir; WARC input is implied)",
     )
     ap.add_argument(
         "--dedup-lines",
@@ -97,21 +99,6 @@ def main(argv: list[str] | None = None) -> None:
     from ocr_machine_spark.session import get_spark
 
     spark = get_spark(app=f"{args.job}-{args.run_id}", master=args.master)
-    # route to the catalog only when the identifier actually resolves there:
-    # a separator-free heuristic alone would send a bare relative filename
-    # ('pages.parquet') to spark.table() and die with TABLE_OR_VIEW_NOT_FOUND
-    if args.input_format == "warc":
-        from ocr_machine_spark.sources.warc import read_warc
-
-        pages = read_warc(spark, args.input)
-    elif args.input_format == "table":
-        pages = spark.table(args.input)
-    elif args.input_format == "parquet":
-        pages = spark.read.parquet(args.input)
-    else:
-        looks_like_table = "/" not in args.input and "\\" not in args.input and not args.input.startswith("file:")
-        is_table = looks_like_table and spark.catalog.tableExists(args.input)
-        pages = spark.table(args.input) if is_table else spark.read.parquet(args.input)
 
     # one warning policy for every branch: flags that don't apply to the
     # selected job are named, never silently ignored
@@ -127,6 +114,12 @@ def main(argv: list[str] | None = None) -> None:
             ("--partitions", args.partitions, None),
             ("--output-table", args.output_table, None),
         ),
+        "cdx": (
+            ("--buckets", args.buckets, 256),
+            ("--partitions", args.partitions, None),
+            ("--output-table", args.output_table, None),
+            ("--dedup-lines", args.dedup_lines, False),
+        ),
     }[args.job]
     ignored = [name for name, val, default in inapplicable if val != default]
     if ignored:
@@ -135,6 +128,41 @@ def main(argv: list[str] | None = None) -> None:
             "and are ignored",
             file=sys.stderr,
         )
+
+    if args.job == "cdx":
+        from ocr_machine_spark.sources.warc import read_warc_cdx
+
+        # the CDX convention: index sorted by url so consumers binary-search
+        # it — the global sort is one range-partition exchange over index
+        # rows (tiny next to the archives they describe)
+        cdx = read_warc_cdx(spark, args.input).sort("url")
+        cdx.write.mode("overwrite").parquet(args.output)
+        back = spark.read.parquet(args.output)
+        stats = {
+            "run_id": args.run_id,
+            "n_records": back.count(),
+            "n_files": back.select("file").distinct().count(),
+        }
+        print(json.dumps(stats))
+        spark.stop()
+        return
+
+    if args.input_format == "warc":
+        from ocr_machine_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.input)
+    elif args.input_format == "table":
+        pages = spark.table(args.input)
+    elif args.input_format == "parquet":
+        pages = spark.read.parquet(args.input)
+    else:
+        # auto: route to the catalog only when the identifier actually
+        # resolves there — a separator-free heuristic alone would send a bare
+        # relative filename ('pages.parquet') to spark.table() and die with
+        # TABLE_OR_VIEW_NOT_FOUND
+        looks_like_table = "/" not in args.input and "\\" not in args.input and not args.input.startswith("file:")
+        is_table = looks_like_table and spark.catalog.tableExists(args.input)
+        pages = spark.table(args.input) if is_table else spark.read.parquet(args.input)
 
     if args.job == "linkgraph":
         from ocr_machine_spark.plans.linkgraph import run_linkgraph
