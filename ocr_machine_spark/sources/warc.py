@@ -58,7 +58,11 @@ def encode_warc_record(
         f"Content-Length: {len(body)}\r\n\r\n"
     ).encode("ascii")
     payload = http_head + body
-    rid = record_id or f"<urn:uuid:{abs(hash((url, len(body)))):032x}>"
+    # md5, not hash(): Python's hash is salted per process and would make
+    # fixture bytes (and so gz member lengths / CDX offsets) irreproducible
+    import hashlib
+
+    rid = record_id or f"<urn:uuid:{hashlib.md5(f'{url}|{len(body)}'.encode()).hexdigest()}>"
     head = (
         "WARC/1.0\r\n"
         "WARC-Type: response\r\n"
@@ -138,15 +142,28 @@ def _iter_members(data: bytes) -> Iterator[tuple[int, int, bytes]]:
     """Yield (offset, compressed_length, member) gzip members one at a time
     (streaming — never inflate the whole file at once). The compressed span
     is what a CDX index stores for .warc.gz: readers range-request exactly
-    those bytes and gunzip one member."""
+    those bytes and gunzip one member.
+
+    Fed in bounded chunks off a zero-copy memoryview: handing the
+    decompressor ``data[pos:]`` per member would memcpy the remaining file
+    twice per member (the slice and ``unused_data``) — O(members·filesize)
+    byte traffic on a 50k-member production archive. Chunking bounds the
+    per-member overshoot copy to one chunk."""
+    mv = memoryview(data)
     pos, n = 0, len(data)
+    chunk_sz = 1 << 20
     while pos < n:
         d = zlib.decompressobj(wbits=31)
-        member = d.decompress(data[pos:])
-        if not d.eof:
-            raise ValueError("truncated gzip member in .warc.gz")
-        consumed = (n - pos) - len(d.unused_data)
-        yield pos, consumed, member
+        out: list[bytes] = []
+        fed = 0
+        while not d.eof:
+            if pos + fed >= n:
+                raise ValueError("truncated gzip member in .warc.gz")
+            chunk = mv[pos + fed : pos + fed + chunk_sz]
+            out.append(d.decompress(chunk))
+            fed += len(chunk)
+        consumed = fed - len(d.unused_data)
+        yield pos, consumed, b"".join(out)
         pos += consumed
 
 
@@ -186,6 +203,8 @@ def _parse_response(raw: bytes) -> dict | None:
         k, _, v = line.partition(":")
         if k.strip().lower() == "content-type":
             mime = v.strip().split(";", 1)[0].strip()
+    if "warc-date" not in fields:
+        raise ValueError("WARC response record missing WARC-Date")
     return {
         "url": fields.get("warc-target-uri", ""),
         "warc_ts": datetime.strptime(fields["warc-date"], "%Y-%m-%dT%H:%M:%SZ"),
