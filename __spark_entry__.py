@@ -1054,6 +1054,29 @@ def _warc_ingest(spark, sf_dir):
     )
 
 
+def _crawl_snapshot_diff(spark, sf_dir):
+    """Recrawl freshness diff between two snapshots derived in-query from
+    the documents table: the new crawl drops doc_id%13 urls, rewrites
+    content for doc_id%7 (fingerprint moves), and discovers doc_id%17 new
+    urls — so all four change classes appear and the full-outer join's
+    null-side logic is actually exercised on both engines."""
+    from ocr_machine_spark.operators.urls import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://s/"), F.col("doc_id").cast("string")).alias("url")
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    fp2 = F.md5(F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" rev2")))
+    old = docs.select(url, fp.alias("fp"))
+    new_kept = docs.filter(F.col("doc_id") % 13 != 0).select(
+        url, F.when(F.col("doc_id") % 7 == 0, fp2).otherwise(fp).alias("fp")
+    )
+    new_added = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.concat(F.lit("https://s/new/"), F.col("doc_id").cast("string")).alias("url"),
+        fp.alias("fp"),
+    )
+    return snapshot_diff(old, new_kept.unionAll(new_added))
+
+
 def _warc_cdx(spark, sf_dir):
     """CDX index build over the WARC fixtures: (file, url, offset, length,
     digest) per response record — offsets are compressed member spans for
@@ -1612,6 +1635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 late: CDX random-access index over the same archives,
         # offsets golden-gated from write-side cursors
         "warc_cdx": _warc_cdx,
+        # round 5 late: recrawl freshness diff (full-outer snapshot join)
+        "crawl_snapshot_diff": _crawl_snapshot_diff,
     }
 
 
@@ -2803,6 +2828,30 @@ FROM '{warc_fixture(N_E2E)[1]}'
         "warc_cdx": f"""
 SELECT file, url, "offset", length, html_md5 AS digest, status, mime
 FROM '{warc_fixture(N_E2E)[1]}'
+""",
+        "crawl_snapshot_diff": """
+WITH d AS (
+  SELECT doc_id,
+         md5(coalesce(text, '')) AS fp,
+         md5(coalesce(text, '') || ' rev2') AS fp2
+  FROM documents
+),
+old AS (SELECT 'https://s/' || CAST(doc_id AS VARCHAR) AS url, fp FROM d),
+nw AS (
+  SELECT 'https://s/' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 7 = 0 THEN fp2 ELSE fp END AS fp
+  FROM d WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT 'https://s/new/' || CAST(doc_id AS VARCHAR) AS url, fp
+  FROM d WHERE doc_id % 17 = 0
+)
+SELECT coalesce(old.url, nw.url) AS url,
+       CASE WHEN old.fp IS NULL THEN 'added'
+            WHEN nw.fp IS NULL THEN 'removed'
+            WHEN old.fp = nw.fp THEN 'unchanged'
+            ELSE 'changed' END AS change,
+       old.fp AS old_fp, nw.fp AS new_fp
+FROM old FULL OUTER JOIN nw ON old.url = nw.url
 """,
         "anchor_text_index": f"""
 WITH t AS (

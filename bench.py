@@ -98,6 +98,7 @@ HEADLINE = [
     "anchor_text_index",
     "warc_ingest",
     "warc_cdx",
+    "crawl_snapshot_diff",
 ]
 
 

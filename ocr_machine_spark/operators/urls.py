@@ -124,3 +124,40 @@ def domain_stats(
         fixed_point(F.col("sum_words") / F.col("n_docs")).alias("mean_words_e4"),
         spam.alias("spam"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key: str = "url",
+    fp: str = "fp",
+) -> DataFrame:
+    """Recrawl freshness diff — the operator a crawl scheduler runs between
+    two snapshots of the corpus: per key, is the page ``added`` (new crawl
+    only), ``removed`` (old only), ``changed`` (both, fingerprint moved) or
+    ``unchanged``. Downstream consumers: recrawl-priority scoring (changed
+    hosts get budget), tombstoning removed urls, and incremental extraction
+    (only added/changed pages re-enter the pipeline).
+
+    Inputs are pre-fingerprinted (key, fp) projections — fingerprint choice
+    (md5 of raw bytes, of canonical text, a simhash…) is the caller's
+    policy, not this operator's.
+
+    → (url, change, old_fp, new_fp). Scale shape: ONE full-outer equi-join
+    on the key — both sides shuffle once (or co-locate for free if the
+    snapshot tables are bucketed by url, the layout the ingest job's
+    xxhash64 bucketing already produces); the classification is a pure
+    post-join projection, no second pass.
+    """
+    o = old.select(F.col(key).alias("url"), F.col(fp).alias("old_fp"))
+    n = new.select(F.col(key).alias("url"), F.col(fp).alias("new_fp"))
+    change = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, "url", "full_outer").select(
+        "url", change.alias("change"), "old_fp", "new_fp"
+    )

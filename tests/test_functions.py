@@ -243,3 +243,22 @@ def test_pack_plan_invariants(spark):
             saw_straddle |= r["bin_last"] > r["bin_first"]
             cum += r["n_tokens"]
     assert saw_straddle  # budget 64 vs ~30-token docs must straddle somewhere
+
+
+def test_snapshot_diff_four_classes(spark):
+    """All four change classes, and the null-side logic of the full-outer
+    join: fp columns are null exactly on the missing side."""
+    from ocr_machine_spark.operators.urls import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "1"), ("b", "2"), ("c", "3")], "url string, fp string"
+    )
+    new = spark.createDataFrame(
+        [("a", "1"), ("b", "9"), ("d", "4")], "url string, fp string"
+    )
+    got = {r["url"]: r for r in snapshot_diff(old, new).collect()}
+    assert got["a"]["change"] == "unchanged"
+    assert got["b"]["change"] == "changed" and got["b"]["old_fp"] == "2" and got["b"]["new_fp"] == "9"
+    assert got["c"]["change"] == "removed" and got["c"]["new_fp"] is None
+    assert got["d"]["change"] == "added" and got["d"]["old_fp"] is None
+    assert len(got) == 4
