@@ -1054,6 +1054,54 @@ def _warc_ingest(spark, sf_dir):
     )
 
 
+def _robots_crawl_gate(spark, sf_dir):
+    """RFC 9309 crawl-permission gate over an in-query fixture: 20 hosts
+    with robots bodies containing a non-star group (must be ignored), a
+    two-agent star group, empty-value no-op rules, comments, and
+    host-varied extras (/private disallow on k%3, root allow on k%4);
+    urls hit five path classes per host. Spark re-derives host/path from
+    the url string; the twin re-implements the group/section window parse
+    relationally — a hash match certifies grouping, longest-match, and
+    the allow-tie rule end-to-end."""
+    from ocr_machine_spark.operators.robots import robots_check, robots_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 20).alias("k")
+    hosts = docs.select(k).distinct()
+    body = F.concat(
+        F.lit(
+            "# corp policy\nUser-agent: megabot\nDisallow: /\n\n"
+            "User-agent: *\nUser-agent: other\n"
+            "Disallow: /tmp\nAllow: /tmp/ok\nDisallow:\n"
+        ),
+        F.when(F.col("k") % 3 == 0, F.lit("Disallow: /private\n")).otherwise(F.lit("")),
+        F.when(F.col("k") % 4 == 0, F.lit("Allow: /\n")).otherwise(F.lit("")),
+    )
+    robots = hosts.select(
+        F.concat(F.lit("h"), F.col("k").cast("string"), F.lit(".example")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    path = F.element_at(
+        F.array(
+            F.lit("/tmp/x"),
+            F.lit("/tmp/ok/y"),
+            F.lit("/private/z"),
+            F.lit(""),
+            F.concat(F.lit("/page/"), F.col("doc_id").cast("string")),
+        ),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    urls = docs.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example"),
+            path,
+        ).alias("url")
+    )
+    return robots_check(urls, robots_rules(robots))
+
+
 def _crawl_snapshot_diff(spark, sf_dir):
     """Recrawl freshness diff between two snapshots derived in-query from
     the documents table: the new crawl drops doc_id%13 urls, rewrites
@@ -1637,6 +1685,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx": _warc_cdx,
         # round 5 late: recrawl freshness diff (full-outer snapshot join)
         "crawl_snapshot_diff": _crawl_snapshot_diff,
+        # round 5 late: RFC 9309 robots gate (relational group parse +
+        # longest-prefix decision)
+        "robots_crawl_gate": _robots_crawl_gate,
     }
 
 
@@ -2828,6 +2879,74 @@ FROM '{warc_fixture(N_E2E)[1]}'
         "warc_cdx": f"""
 SELECT file, url, "offset", length, html_md5 AS digest, status, mime
 FROM '{warc_fixture(N_E2E)[1]}'
+""",
+        "robots_crawl_gate": """
+WITH ks AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+robots AS (
+  SELECT 'h' || CAST(k AS VARCHAR) || '.example' AS host,
+         '# corp policy' || chr(10) ||
+         'User-agent: megabot' || chr(10) || 'Disallow: /' || chr(10) || chr(10) ||
+         'User-agent: *' || chr(10) || 'User-agent: other' || chr(10) ||
+         'Disallow: /tmp' || chr(10) || 'Allow: /tmp/ok' || chr(10) || 'Disallow:' || chr(10) ||
+         CASE WHEN k % 3 = 0 THEN 'Disallow: /private' || chr(10) ELSE '' END ||
+         CASE WHEN k % 4 = 0 THEN 'Allow: /' || chr(10) ELSE '' END AS body
+  FROM ks
+),
+lines AS (
+  SELECT host, CAST(i AS INTEGER) AS idx,
+         trim(regexp_replace(ls[CAST(i AS INTEGER)], '#.*$', '', 'g')) AS clean
+  FROM (SELECT host, string_split(body, chr(10)) AS ls FROM robots),
+       unnest(range(1, len(ls) + 1)) t(i)
+),
+parsed AS (
+  SELECT host, idx,
+         CASE WHEN instr(clean, ':') > 0 THEN lower(trim(split_part(clean, ':', 1))) ELSE '' END AS key,
+         CASE WHEN instr(clean, ':') > 0 THEN trim(substring(clean, instr(clean, ':') + 1)) ELSE '' END AS val
+  FROM lines
+),
+mark AS (
+  SELECT host, idx, key, val,
+         CASE WHEN key = 'user-agent'
+              AND coalesce(lag(CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY host ORDER BY idx), 0) = 0
+              THEN 1 ELSE 0 END AS opens
+  FROM parsed
+),
+sec AS (
+  SELECT host, idx, key, val,
+         sum(opens) OVER (PARTITION BY host ORDER BY idx ROWS UNBOUNDED PRECEDING) AS section
+  FROM mark
+),
+star AS (SELECT DISTINCT host, section FROM sec WHERE key = 'user-agent' AND val = '*'),
+rules AS (
+  SELECT sec.host, (key = 'allow') AS allow, val AS prefix
+  FROM sec JOIN star USING (host, section)
+  WHERE key IN ('allow', 'disallow') AND val <> ''
+),
+urls AS (
+  SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example' ||
+         CASE CAST(doc_id % 5 AS INTEGER)
+           WHEN 0 THEN '/tmp/x' WHEN 1 THEN '/tmp/ok/y' WHEN 2 THEN '/private/z'
+           WHEN 3 THEN '' ELSE '/page/' || CAST(doc_id AS VARCHAR) END AS url,
+         'h' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host,
+         CASE CAST(doc_id % 5 AS INTEGER)
+           WHEN 0 THEN '/tmp/x' WHEN 1 THEN '/tmp/ok/y' WHEN 2 THEN '/private/z'
+           WHEN 3 THEN '/' ELSE '/page/' || CAST(doc_id AS VARCHAR) END AS path
+  FROM documents
+),
+cand AS (
+  SELECT url, allow, prefix FROM urls JOIN rules USING (host)
+  WHERE starts_with(path, prefix)
+),
+best AS (
+  SELECT url, allow, prefix FROM (
+    SELECT url, allow, prefix,
+           row_number() OVER (PARTITION BY url ORDER BY len(prefix) DESC, allow DESC, prefix) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT u.url, coalesce(best.allow, true) AS allowed, best.prefix AS rule_prefix
+FROM urls u LEFT JOIN best USING (url)
 """,
         "crawl_snapshot_diff": """
 WITH d AS (

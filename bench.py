@@ -99,6 +99,7 @@ HEADLINE = [
     "warc_ingest",
     "warc_cdx",
     "crawl_snapshot_diff",
+    "robots_crawl_gate",
 ]
 
 

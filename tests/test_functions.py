@@ -262,3 +262,40 @@ def test_snapshot_diff_four_classes(spark):
     assert got["c"]["change"] == "removed" and got["c"]["new_fp"] is None
     assert got["d"]["change"] == "added" and got["d"]["old_fp"] is None
     assert len(got) == 4
+
+
+def test_robots_rules_and_check(spark):
+    """RFC 9309 subset: non-star groups ignored, multi-agent star group
+    owned rules included, empty-value rules are no-ops, longest match
+    wins, allow wins ties, default allow (incl. unknown hosts and bare
+    authority urls)."""
+    from ocr_machine_spark.operators.robots import robots_check, robots_rules
+
+    body = (
+        "# corp robots\nUser-agent: megabot\nDisallow: /\n\n"
+        "User-agent: *\nUser-agent: other\n"
+        "Disallow: /tmp\nAllow: /tmp/ok\nDisallow:\nAllow: /private/peek\n\n"
+        "User-agent: evilbot\nDisallow: /secret\n"
+    )
+    robots = spark.createDataFrame([("h.example", body)], "host string, robots_txt string")
+    rules = {(r["allow"], r["prefix"]) for r in robots_rules(robots).collect()}
+    assert rules == {(False, "/tmp"), (True, "/tmp/ok"), (True, "/private/peek")}
+
+    urls = spark.createDataFrame(
+        [(u,) for u in (
+            "https://h.example/tmp/x",
+            "https://h.example/tmp/ok/y",
+            "https://h.example/public",
+            "https://h.example/private/peek",
+            "https://h.example",
+            "https://other.example/tmp/x",
+        )],
+        "url string",
+    )
+    got = {r["url"]: (r["allowed"], r["rule_prefix"]) for r in robots_check(urls, robots_rules(robots)).collect()}
+    assert got["https://h.example/tmp/x"] == (False, "/tmp")
+    assert got["https://h.example/tmp/ok/y"] == (True, "/tmp/ok")
+    assert got["https://h.example/public"] == (True, None)
+    assert got["https://h.example/private/peek"] == (True, "/private/peek")
+    assert got["https://h.example"] == (True, None)
+    assert got["https://other.example/tmp/x"] == (True, None)
