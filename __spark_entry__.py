@@ -1054,6 +1054,34 @@ def _warc_ingest(spark, sf_dir):
     )
 
 
+def _host_components(spark, sf_dir):
+    """Weakly-connected site clusters over a host graph — mirror-detection /
+    site-grouping tier (the webgraph sibling of dedup survivor selection).
+    Runs the SAME large-star/small-star engine as dedup_keep_list, on
+    STRING node ids (the algorithm is pure min/least arithmetic, so it is
+    key-type generic — this query certifies that on hosts). The edge
+    fixture is 20 disjoint 10-host rings by construction, so the expected
+    components (and their lexicographic-min reps h{k}_0) are known; the
+    DuckDB twin resolves the same closure recursively."""
+    b = (F.col("doc_id") % 20).cast("string")
+    i = F.expr("(doc_id div 20) % 10")
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(
+            F.concat(F.lit("h"), b, F.lit("_"), i.cast("string")).alias("a"),
+            F.concat(F.lit("h"), b, F.lit("_"), ((i + 3) % 10).cast("string")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    hosts = (
+        pairs.select(F.col("a").alias("host"))
+        .union(pairs.select(F.col("b").alias("host")))
+        .distinct()
+    )
+    return D.dedup_clusters_star(hosts, pairs, key="host")
+
+
 def _robots_crawl_gate(spark, sf_dir):
     """RFC 9309 crawl-permission gate over an in-query fixture: 20 hosts
     with robots bodies containing a non-star group (must be ignored), a
@@ -1688,6 +1716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 late: RFC 9309 robots gate (relational group parse +
         # longest-prefix decision)
         "robots_crawl_gate": _robots_crawl_gate,
+        # round 5 late: site clusters — the star CC engine on string hosts
+        "host_components": _host_components,
     }
 
 
@@ -2879,6 +2909,27 @@ FROM '{warc_fixture(N_E2E)[1]}'
         "warc_cdx": f"""
 SELECT file, url, "offset", length, html_md5 AS digest, status, mime
 FROM '{warc_fixture(N_E2E)[1]}'
+""",
+        "host_components": """
+WITH RECURSIVE p AS (
+  SELECT DISTINCT
+    'h' || CAST(doc_id % 20 AS VARCHAR) || '_' || CAST((doc_id // 20) % 10 AS VARCHAR) AS a,
+    'h' || CAST(doc_id % 20 AS VARCHAR) || '_' || CAST(((doc_id // 20) % 10 + 3) % 10 AS VARCHAR) AS b
+  FROM documents
+),
+pp AS (SELECT a, b FROM p WHERE a <> b),
+hosts AS (SELECT DISTINCT host FROM (SELECT a AS host FROM pp UNION ALL SELECT b FROM pp)),
+e AS (SELECT a AS x, b AS y FROM pp UNION SELECT b, a FROM pp),
+r(node, peer) AS (
+  SELECT x, y FROM e
+  UNION
+  SELECT r.node, e.y FROM r JOIN e ON e.x = r.peer
+),
+m AS (SELECT node, min(peer) AS mn FROM r GROUP BY node)
+SELECT h.host,
+       least(h.host, coalesce(m.mn, h.host)) AS rep,
+       (least(h.host, coalesce(m.mn, h.host)) = h.host) AS keep
+FROM hosts h LEFT JOIN m ON m.node = h.host
 """,
         "robots_crawl_gate": """
 WITH ks AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),

@@ -100,6 +100,7 @@ HEADLINE = [
     "warc_cdx",
     "crawl_snapshot_diff",
     "robots_crawl_gate",
+    "host_components",
 ]
 
 

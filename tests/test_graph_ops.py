@@ -139,3 +139,26 @@ def test_anchor_text_index_semantics_and_plan(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_host_components_string_keys(spark):
+    """The star CC engine is key-type generic: on string hosts, each
+    by-construction ring resolves to one component whose rep is the
+    lexicographic minimum."""
+    from ocr_machine_spark.operators.dedup import dedup_clusters_star
+
+    # two rings + one isolated host
+    pairs = spark.createDataFrame(
+        [("a2", "a0"), ("a0", "a1"), ("a1", "a2"), ("b1", "b0")],
+        "a string, b string",
+    )
+    hosts = spark.createDataFrame(
+        [("a0",), ("a1",), ("a2",), ("b0",), ("b1",), ("solo",)], "host string"
+    )
+    got = {r["host"]: (r["rep"], r["keep"]) for r in
+           dedup_clusters_star(hosts, pairs, key="host").collect()}
+    assert got == {
+        "a0": ("a0", True), "a1": ("a0", False), "a2": ("a0", False),
+        "b0": ("b0", True), "b1": ("b0", False),
+        "solo": ("solo", True),
+    }
