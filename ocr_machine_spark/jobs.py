@@ -119,6 +119,14 @@ def main(argv: list[str] | None = None) -> None:
             ("--partitions", args.partitions, None),
             ("--output-table", args.output_table, None),
             ("--dedup-lines", args.dedup_lines, False),
+            # cdx always reads WARC; an explicit CONFLICTING format must be
+            # named as ignored, not silently dropped into a parse error
+            # ('auto' and 'warc' are both consistent with the job)
+            (
+                "--input-format",
+                args.input_format if args.input_format not in ("auto", "warc") else "auto",
+                "auto",
+            ),
         ),
     }[args.job]
     ignored = [name for name, val, default in inapplicable if val != default]

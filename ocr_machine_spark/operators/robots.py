@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ocr_machine_spark.operators.urls import host_of
+from ocr_machine_spark.operators.urls import canon_host, host_of
 
 
 def robots_rules(
@@ -41,8 +41,12 @@ def robots_rules(
 ) -> DataFrame:
     """(host, robots_txt) → one row per ``*``-group rule:
     (host, allow, prefix)."""
+    # canonicalize the host key at the source: the check side derives its
+    # key via host_of, and a robots table keyed by the literal fetched
+    # hostname ('www.Example.COM') would otherwise never match — the gate
+    # would silently fail OPEN (default allow) on that host
     lines = robots.select(
-        F.col(host).alias("host"),
+        canon_host(F.col(host)).alias("host"),
         F.posexplode(F.split(F.col(body), "\n")).alias("idx", "raw"),
     ).select(
         "host",
@@ -98,7 +102,10 @@ def robots_check(urls: DataFrame, rules: DataFrame, *, url: str = "url") -> Data
             F.lit("/"),
         ).alias("path"),
     )
-    cand = u.join(F.broadcast(rules), "host").filter(
+    # no broadcast hint: let Catalyst/AQE pick — the rules table is usually
+    # tiny (auto-broadcast), but forcing the hint would OOM the driver at
+    # the 10^8-hosts scale where only a shuffle equi-join is viable
+    cand = u.join(rules, "host").filter(
         F.col("path").startswith(F.col("prefix"))
     )
     w = Window.partitionBy("url").orderBy(

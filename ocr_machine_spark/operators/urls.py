@@ -67,6 +67,17 @@ def canonical_url_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def canon_host(host: Column) -> Column:
+    """Canonicalize a BARE hostname to the crawl host key: lowercase, strip
+    any ``:port`` suffix and one leading ``www.`` — the same spec
+    ``host_of`` applies to a URL's authority, exposed for callers whose
+    host column comes from elsewhere (robots tables, server logs) so both
+    sides of a host join agree."""
+    h = F.lower(host)
+    # \z (absolute end), same cross-engine rationale as canonical_url
+    return F.regexp_replace(F.regexp_replace(h, r":[0-9]+\z", ""), r"^www\.", "")
+
+
 def host_of(url: Column) -> Column:
     """Registrable host key of a URL: the authority lowercased, with any
     ``:port`` suffix and one leading ``www.`` stripped (userinfo, rare in
@@ -74,9 +85,7 @@ def host_of(url: Column) -> Column:
     DuckDB twin reproduces verbatim). Malformed URLs with no
     ``scheme://`` produce the empty string, which groups them into one
     visible junk bucket rather than dropping rows."""
-    h = F.lower(F.regexp_extract(url, _HOST_RE, 1))
-    # \z (absolute end), same cross-engine rationale as canonical_url
-    return F.regexp_replace(F.regexp_replace(h, r":[0-9]+\z", ""), r"^www\.", "")
+    return canon_host(F.regexp_extract(url, _HOST_RE, 1))
 
 
 def domain_stats(
@@ -142,7 +151,11 @@ def snapshot_diff(
 
     Inputs are pre-fingerprinted (key, fp) projections — fingerprint choice
     (md5 of raw bytes, of canonical text, a simhash…) is the caller's
-    policy, not this operator's.
+    policy, not this operator's. A NULL fingerprint means UNKNOWN content,
+    not absence: presence is tracked by explicit markers (never by fp
+    nullness, which Spark's md5(NULL) would silently fake), and a
+    present-in-both row with any NULL fp classifies as ``changed`` — the
+    conservative recrawl decision for content we cannot compare.
 
     → (url, change, old_fp, new_fp). Scale shape: ONE full-outer equi-join
     on the key — both sides shuffle once (or co-locate for free if the
@@ -150,12 +163,21 @@ def snapshot_diff(
     xxhash64 bucketing already produces); the classification is a pure
     post-join projection, no second pass.
     """
-    o = old.select(F.col(key).alias("url"), F.col(fp).alias("old_fp"))
-    n = new.select(F.col(key).alias("url"), F.col(fp).alias("new_fp"))
+    o = old.select(
+        F.col(key).alias("url"), F.col(fp).alias("old_fp"), F.lit(True).alias("_in_old")
+    )
+    n = new.select(
+        F.col(key).alias("url"), F.col(fp).alias("new_fp"), F.lit(True).alias("_in_new")
+    )
     change = (
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_fp").isNotNull()
+            & F.col("new_fp").isNotNull()
+            & (F.col("old_fp") == F.col("new_fp")),
+            F.lit("unchanged"),
+        )
         .otherwise(F.lit("changed"))
     )
     return o.join(n, "url", "full_outer").select(

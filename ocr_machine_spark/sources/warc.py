@@ -160,20 +160,41 @@ def _iter_members(data: bytes) -> Iterator[tuple[int, int, bytes]]:
             if pos + fed >= n:
                 raise ValueError("truncated gzip member in .warc.gz")
             chunk = mv[pos + fed : pos + fed + chunk_sz]
-            out.append(d.decompress(chunk))
+            try:
+                out.append(d.decompress(chunk))
+            except zlib.error as exc:
+                # corrupt member / trailing garbage between members: keep
+                # the module's ValueError taxonomy (callers catch it per
+                # test_error_taxonomy; a raw zlib.error would escape)
+                raise ValueError(f"bad gzip member at offset {pos}: {exc}") from exc
             fed += len(chunk)
         consumed = fed - len(d.unused_data)
         yield pos, consumed, b"".join(out)
         pos += consumed
 
 
-def _record_spans(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+def _record_spans(
+    data: bytes, *, require_member_per_record: bool = False
+) -> Iterator[tuple[int, int, bytes]]:
     """(offset, length, raw-record) for plain or gzip WARC bytes. For .gz
     the span is the compressed MEMBER (one record per member, the Common
-    Crawl layout); for plain it is the record's own byte range."""
+    Crawl layout); for plain it is the record's own byte range.
+
+    ``require_member_per_record``: a gzip member holding several records
+    (e.g. ``gzip file.warc`` over a whole archive) has NO per-record
+    compressed span — consumers that publish spans (CDX) must raise rather
+    than silently emit the member span for every record (a corrupt
+    url→offset map); record-level readers just keep streaming."""
     if data[:2] == b"\x1f\x8b":
         for moff, mlen, member in _iter_members(data):
-            for _, _, raw in _iter_plain(member):
+            recs = list(_iter_plain(member))
+            if require_member_per_record and len(recs) > 1:
+                raise ValueError(
+                    "gzip WARC is not member-per-record "
+                    f"(member at offset {moff} holds {len(recs)} records): "
+                    "CDX offsets are undefined for this layout"
+                )
+            for _, _, raw in recs:
                 yield moff, mlen, raw
     else:
         yield from _iter_plain(data)
@@ -229,10 +250,14 @@ def iter_warc_cdx(data: bytes) -> Iterator[dict]:
     mime) per response record — the Common-Crawl-style random-access index
     entry. ``offset``/``length`` are the compressed member span for .gz
     input (range-request + gunzip one member) or the record's own byte
-    range for plain input; ``digest`` is md5 hex over the raw body."""
+    range for plain input; ``digest`` is md5 hex over the raw body. A gzip
+    archive that is NOT member-per-record raises (its records have no
+    compressed span — silently indexing the member span would corrupt the
+    url→offset map); use ``iter_warc_records`` for span-free ingest of
+    that layout."""
     import hashlib
 
-    for off, length, raw in _record_spans(data):
+    for off, length, raw in _record_spans(data, require_member_per_record=True):
         rec = _parse_response(raw)
         if rec is None:
             continue

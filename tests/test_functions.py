@@ -299,3 +299,39 @@ def test_robots_rules_and_check(spark):
     assert got["https://h.example/private/peek"] == (True, "/private/peek")
     assert got["https://h.example"] == (True, None)
     assert got["https://other.example/tmp/x"] == (True, None)
+
+
+def test_snapshot_diff_null_fp_is_unknown_not_absent(spark):
+    """NULL fingerprints mean unknown content: present-in-both rows must
+    never classify added/removed (presence is tracked by markers, not fp
+    nullness), and any NULL fp on a present-both row is 'changed' — the
+    conservative recrawl decision."""
+    from ocr_machine_spark.operators.urls import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", None), ("b", "1"), ("c", None)], "url string, fp string"
+    )
+    new = spark.createDataFrame(
+        [("a", "x"), ("b", None), ("c", None)], "url string, fp string"
+    )
+    got = {r["url"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    assert got == {"a": "changed", "b": "changed", "c": "changed"}
+
+
+def test_robots_host_canonicalization(spark):
+    """A robots table keyed by the literal fetched hostname
+    ('www.Example.COM:8080') must still gate urls whose key comes from
+    host_of — otherwise the gate silently fails open."""
+    from ocr_machine_spark.operators.robots import robots_check, robots_rules
+
+    robots = spark.createDataFrame(
+        [("www.Example.COM:8080", "User-agent: *\nDisallow: /tmp\n")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [("https://example.com/tmp/x",), ("https://WWW.example.com/ok",)],
+        "url string",
+    )
+    got = {r["url"]: r["allowed"] for r in robots_check(urls, robots_rules(robots)).collect()}
+    assert got["https://example.com/tmp/x"] is False
+    assert got["https://WWW.example.com/ok"] is True

@@ -101,3 +101,25 @@ def test_cdx_random_access_contract():
         rec = next(W.iter_warc_records(span))
         assert rec["url"] == w.url
         assert hashlib.md5(rec["html"]).hexdigest() == w.html_md5
+
+
+def test_cdx_rejects_whole_file_gzip_but_ingest_accepts():
+    """A .warc.gz that is one gzip stream over the whole archive (not
+    member-per-record) has no per-record compressed spans: CDX must raise
+    rather than emit a corrupt url→offset map; record-level ingest still
+    streams it fine."""
+    import gzip as _gzip
+
+    recs = [_rec(url=f"https://h/{i}", body=b"b" * i) for i in range(3)]
+    whole = _gzip.compress(b"".join(recs))
+    assert len(list(W.iter_warc_records(whole))) == 3
+    with pytest.raises(ValueError, match="not member-per-record"):
+        list(W.iter_warc_cdx(whole))
+
+
+def test_gzip_garbage_raises_value_error():
+    """Trailing non-gzip bytes between/after members must surface as the
+    module's ValueError taxonomy, not a raw zlib.error."""
+    gz = W.encode_warc_file([_rec()], per_record_gzip=True)
+    with pytest.raises(ValueError, match="bad gzip member"):
+        list(W.iter_warc_records(gz + b"\x00garbage\x00" * 4))
