@@ -1054,6 +1054,38 @@ def _warc_ingest(spark, sf_dir):
     )
 
 
+def _sitemap_ingest(spark, sf_dir):
+    """Crawl-discovery feed: per-host sitemap XML (urlset for most hosts,
+    sitemapindex for k%4 hosts) parsed into (sitemap_url, kind, loc,
+    lastmod) entries. The fixture exercises whitespace-padded locs (trim),
+    missing lastmod (NULL), a loc-less url block (dropped), and nested
+    index entries (kind='sitemap' — frontier feedback)."""
+    from ocr_machine_spark.operators.urls import sitemap_entries
+
+    docs = _t(spark, sf_dir, "documents")
+    ks = docs.select((F.col("doc_id") % 20).alias("kk")).distinct()
+    k = F.col("kk").cast("string")
+    kd = (F.col("kk") % 9 + 1).cast("string")
+    host = F.concat(F.lit("https://h"), k, F.lit(".example"))
+    urlset = F.concat(
+        F.lit("<urlset><url><loc> "), host, F.lit("/p/1 </loc><lastmod>2024-01-0"),
+        kd, F.lit("</lastmod></url><url><loc>"), host,
+        F.lit("/p/2</loc></url><url><lastmod>2024-03-01</lastmod></url><url><loc>"),
+        host, F.lit("/p/3</loc><lastmod>2024-01-1"), kd, F.lit("</lastmod></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>"), host,
+        F.lit("/s1.xml</loc><lastmod>2024-02-0"), kd,
+        F.lit("</lastmod></sitemap><sitemap><loc>"), host,
+        F.lit("/s2.xml</loc></sitemap></sitemapindex>"),
+    )
+    sitemaps = ks.select(
+        F.concat(host, F.lit("/sitemap.xml")).alias("sitemap_url"),
+        F.when(F.col("kk") % 4 == 0, index).otherwise(urlset).alias("xml"),
+    )
+    return sitemap_entries(sitemaps)
+
+
 def _host_components(spark, sf_dir):
     """Weakly-connected site clusters over a host graph — mirror-detection /
     site-grouping tier (the webgraph sibling of dedup survivor selection).
@@ -1718,6 +1750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_crawl_gate": _robots_crawl_gate,
         # round 5 late: site clusters — the star CC engine on string hosts
         "host_components": _host_components,
+        # round 5 late: sitemap crawl-discovery feed (urlset + sitemapindex)
+        "sitemap_ingest": _sitemap_ingest,
     }
 
 
@@ -2909,6 +2943,37 @@ FROM '{warc_fixture(N_E2E)[1]}'
         "warc_cdx": f"""
 SELECT file, url, "offset", length, html_md5 AS digest, status, mime
 FROM '{warc_fixture(N_E2E)[1]}'
+""",
+        "sitemap_ingest": """
+WITH ks AS (SELECT DISTINCT doc_id % 20 AS kk FROM documents),
+s AS (
+  SELECT 'https://h' || CAST(kk AS VARCHAR) || '.example/sitemap.xml' AS sitemap_url,
+         CASE WHEN kk % 4 = 0 THEN
+           '<sitemapindex><sitemap><loc>https://h' || CAST(kk AS VARCHAR) ||
+           '.example/s1.xml</loc><lastmod>2024-02-0' || CAST(kk % 9 + 1 AS VARCHAR) ||
+           '</lastmod></sitemap><sitemap><loc>https://h' || CAST(kk AS VARCHAR) ||
+           '.example/s2.xml</loc></sitemap></sitemapindex>'
+         ELSE
+           '<urlset><url><loc> https://h' || CAST(kk AS VARCHAR) ||
+           '.example/p/1 </loc><lastmod>2024-01-0' || CAST(kk % 9 + 1 AS VARCHAR) ||
+           '</lastmod></url><url><loc>https://h' || CAST(kk AS VARCHAR) ||
+           '.example/p/2</loc></url><url><lastmod>2024-03-01</lastmod></url>' ||
+           '<url><loc>https://h' || CAST(kk AS VARCHAR) ||
+           '.example/p/3</loc><lastmod>2024-01-1' || CAST(kk % 9 + 1 AS VARCHAR) ||
+           '</lastmod></url></urlset>'
+         END AS xml
+  FROM ks
+),
+blocks AS (
+  SELECT sitemap_url, 'url' AS kind, unnest(regexp_extract_all(xml, '<url>([\\s\\S]*?)</url>', 1)) AS blk FROM s
+  UNION ALL
+  SELECT sitemap_url, 'sitemap', unnest(regexp_extract_all(xml, '<sitemap>([\\s\\S]*?)</sitemap>', 1)) FROM s
+)
+SELECT sitemap_url, kind,
+       trim(regexp_extract(blk, '<loc>([\\s\\S]*?)</loc>', 1)) AS loc,
+       nullif(trim(regexp_extract(blk, '<lastmod>([\\s\\S]*?)</lastmod>', 1)), '') AS lastmod
+FROM blocks
+WHERE trim(regexp_extract(blk, '<loc>([\\s\\S]*?)</loc>', 1)) <> ''
 """,
         "host_components": """
 WITH RECURSIVE p AS (

@@ -101,6 +101,7 @@ HEADLINE = [
     "crawl_snapshot_diff",
     "robots_crawl_gate",
     "host_components",
+    "sitemap_ingest",
 ]
 
 

@@ -183,3 +183,57 @@ def snapshot_diff(
     return o.join(n, "url", "full_outer").select(
         "url", change.alias("change"), "old_fp", "new_fp"
     )
+
+
+def sitemap_entries(
+    sitemaps: DataFrame, *, key: str = "sitemap_url", body: str = "xml"
+) -> DataFrame:
+    """XML sitemap ingestion — the crawl-discovery feed (sitemaps.org
+    protocol): ``<urlset>`` url entries and ``<sitemapindex>`` nested
+    sitemap references from fetched sitemap bodies.
+
+    → (sitemap_url, kind, loc, lastmod): kind ``url`` for page entries,
+    ``sitemap`` for index entries (a frontier feeds those back into the
+    fetch queue for the next discovery round); ``lastmod`` is the verbatim
+    trimmed tag text, NULL when absent (recrawl scheduling joins it
+    against crawl_snapshot_diff timestamps).
+
+    Documented subset: well-formed ``<url>``/``<sitemap>`` blocks, loc
+    text taken verbatim (no entity decoding — the canonical_url pass
+    downstream owns normalization); blocks missing ``<loc>`` are dropped.
+    Pure JVM regexp (``[\\s\\S]`` + non-greedy, the pinned cross-engine
+    regex subset — RE2∩Java) over exploded blocks; one Generate per
+    block kind, no shuffle — discovery is a pure map, like WARC ingest.
+    """
+    blocks = sitemaps.select(
+        F.col(key).alias("sitemap_url"),
+        F.explode(
+            F.concat(
+                F.transform(
+                    # pattern must be a lit Column: a bare str here is read
+                    # as a COLUMN NAME by regexp_extract_all
+                    F.regexp_extract_all(F.col(body), F.lit(r"<url>([\s\S]*?)</url>"), F.lit(1)),
+                    lambda b: F.struct(F.lit("url").alias("kind"), b.alias("blk")),
+                ),
+                F.transform(
+                    F.regexp_extract_all(
+                        F.col(body), F.lit(r"<sitemap>([\s\S]*?)</sitemap>"), F.lit(1)
+                    ),
+                    lambda b: F.struct(F.lit("sitemap").alias("kind"), b.alias("blk")),
+                ),
+            )
+        ).alias("e"),
+    )
+    loc = F.trim(F.regexp_extract(F.col("e.blk"), r"<loc>([\s\S]*?)</loc>", 1))
+    lastmod = F.trim(
+        F.regexp_extract(F.col("e.blk"), r"<lastmod>([\s\S]*?)</lastmod>", 1)
+    )
+    return (
+        blocks.select(
+            "sitemap_url",
+            F.col("e.kind").alias("kind"),
+            loc.alias("loc"),
+            F.nullif(lastmod, F.lit("")).alias("lastmod"),
+        )
+        .filter(F.col("loc") != "")
+    )

@@ -335,3 +335,31 @@ def test_robots_host_canonicalization(spark):
     got = {r["url"]: r["allowed"] for r in robots_check(urls, robots_rules(robots)).collect()}
     assert got["https://example.com/tmp/x"] is False
     assert got["https://WWW.example.com/ok"] is True
+
+
+def test_sitemap_entries(spark):
+    """urlset + sitemapindex parsing: trims padded locs, NULLs missing
+    lastmod, drops loc-less blocks, tags nested index refs kind='sitemap'."""
+    from ocr_machine_spark.operators.urls import sitemap_entries
+
+    xml = (
+        "<urlset><url><loc> https://a/1 </loc><lastmod>2024-01-02</lastmod></url>"
+        "<url><loc>https://a/2</loc></url>"
+        "<url><lastmod>2024-03-01</lastmod></url></urlset>"
+    )
+    idx = (
+        "<sitemapindex><sitemap><loc>https://a/s1.xml</loc>"
+        "<lastmod>2024-02-02</lastmod></sitemap>"
+        "<sitemap><loc>https://a/s2.xml</loc></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("https://a/sitemap.xml", xml), ("https://a/index.xml", idx)],
+        "sitemap_url string, xml string",
+    )
+    got = {(r["loc"]): (r["kind"], r["lastmod"]) for r in sitemap_entries(df).collect()}
+    assert got == {
+        "https://a/1": ("url", "2024-01-02"),
+        "https://a/2": ("url", None),
+        "https://a/s1.xml": ("sitemap", "2024-02-02"),
+        "https://a/s2.xml": ("sitemap", None),
+    }
