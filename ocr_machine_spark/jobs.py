@@ -64,6 +64,15 @@ def main(argv: list[str] | None = None) -> None:
         "catalog is configured on the session, else parquet under --output",
     )
     ap.add_argument(
+        "--diff-against",
+        default=None,
+        help="extract only: path of a PREVIOUS pages snapshot (parquet). "
+        "The job extracts only urls whose raw html is new or changed vs "
+        "that snapshot (md5 diff via operators.urls.snapshot_diff) — the "
+        "incremental-recrawl mode; unchanged and removed urls are skipped "
+        "and reported in the stats line",
+    )
+    ap.add_argument(
         "--input-format",
         choices=("auto", "parquet", "table", "warc"),
         default="auto",
@@ -108,17 +117,20 @@ def main(argv: list[str] | None = None) -> None:
             ("--buckets", args.buckets, 256),
             ("--output-table", args.output_table, None),
             ("--dedup-lines", args.dedup_lines, False),
+            ("--diff-against", args.diff_against, None),
         ),
         "curate": (
             ("--buckets", args.buckets, 256),
             ("--partitions", args.partitions, None),
             ("--output-table", args.output_table, None),
+            ("--diff-against", args.diff_against, None),
         ),
         "cdx": (
             ("--buckets", args.buckets, 256),
             ("--partitions", args.partitions, None),
             ("--output-table", args.output_table, None),
             ("--dedup-lines", args.dedup_lines, False),
+            ("--diff-against", args.diff_against, None),
             # cdx always reads WARC; an explicit CONFLICTING format must be
             # named as ignored, not silently dropped into a parse error
             # ('auto' and 'warc' are both consistent with the job)
@@ -198,6 +210,25 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps(stats))
         spark.stop()
         return
+    diff_stats = {}
+    if args.diff_against:
+        # incremental recrawl: diff raw-html fingerprints against the
+        # previous snapshot and extract only added/changed urls — the
+        # full-outer join is one url-keyed shuffle of (url, md5) pairs,
+        # tiny next to re-extracting an unchanged 100 TB corpus
+        from pyspark.sql import functions as F
+
+        from ocr_machine_spark.operators.urls import snapshot_diff
+
+        fp = lambda df: df.select("url", F.md5(F.col("html")).alias("fp"))  # noqa: E731
+        old_pages = spark.read.parquet(args.diff_against)
+        diff = snapshot_diff(fp(old_pages), fp(pages))
+        counts = {r["change"]: r["n"] for r in diff.groupBy("change").agg(
+            F.count("*").alias("n")).collect()}
+        diff_stats = {f"diff_{k}": counts.get(k, 0) for k in
+                      ("added", "changed", "unchanged", "removed")}
+        todo = diff.filter(F.col("change").isin("added", "changed")).select("url")
+        pages = pages.join(todo, "url", "left_semi")
     stats = run_extraction(
         spark,
         pages,
@@ -208,7 +239,7 @@ def main(argv: list[str] | None = None) -> None:
         input_split=args.input,
         table=args.output_table,
     )
-    print(json.dumps(stats))
+    print(json.dumps({**stats, **diff_stats}))
     spark.stop()
 
 

@@ -123,3 +123,39 @@ def test_gzip_garbage_raises_value_error():
     gz = W.encode_warc_file([_rec()], per_record_gzip=True)
     with pytest.raises(ValueError, match="bad gzip member"):
         list(W.iter_warc_records(gz + b"\x00garbage\x00" * 4))
+
+
+def test_incremental_extraction_cli(spark, tmp_path):
+    """--diff-against: the extract job skips unchanged urls and reports the
+    diff histogram. Driven through the real CLI in a subprocess (jobs.main
+    stops its session, so it must not share the test fixture's)."""
+    import json
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from ocr_machine_spark.sources.pages import generate_pages
+
+    old_p, new_p, out = str(tmp_path / "old"), str(tmp_path / "new"), str(tmp_path / "out")
+    old = generate_pages(spark, 200, partitions=2)
+    old.write.parquet(old_p)
+    old.withColumn(
+        "html",
+        F.when(
+            F.xxhash64("url") % 5 == 0,
+            F.concat(F.col("html"), F.lit("X").cast("binary")),
+        ).otherwise(F.col("html")),
+    ).write.parquet(new_p)
+
+    res = subprocess.run(
+        [sys.executable, "ocr_machine_spark/jobs.py", "--input", new_p,
+         "--diff-against", old_p, "--output", out, "--run-id", "d1",
+         "--buckets", "4", "--master", "local[4]"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads(res.stdout.strip().splitlines()[-1])
+    assert stats["diff_changed"] > 0 and stats["diff_unchanged"] > 0
+    assert stats["diff_changed"] + stats["diff_unchanged"] == 200
+    assert stats["pages_ok"] == stats["diff_changed"]  # only changed extracted
