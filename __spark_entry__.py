@@ -1686,12 +1686,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_region_revenue": _q5_region_revenue,
-        "filter_pushdown_scan": _filter_pushdown_scan,
+        # round-5 rotation #5: the WARC ingest head (new SOURCE capability —
+        # byte-exact archive recovery) enters the window; filter_pushdown_scan
+        # moves below: predicate/projection pushdown is certified by the
+        # tests/test_plans.py ReadSchema+PushedFilters CI (a plan property the
+        # driver's value hash never saw), and the query stays parity-gated.
+        "warc_ingest": _warc_ingest,
         "asof_purchase_before_click": _asof_purchase_before_click,
         "sessionize_events": _sessionize_events,
         "agg_stats_lineitem": _agg_stats_lineitem,
         "set_ops_custkeys": _set_ops_custkeys,
         # ---- position 51+: surface breadth, locally gated only ----
+        "filter_pushdown_scan": _filter_pushdown_scan,
         "semi_join_customers": _semi_join_customers,
         "broadcast_brand_agg": _broadcast_brand_agg,
         "anti_join_customers": _anti_join_customers,
@@ -1737,11 +1743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 late: incoming-anchor-text index over the real extraction
         # path, oracled against the by-construction link goldens
         "anchor_text_index": _anchor_text_index,
-        # round 5 late: crawl-archive ingest head (WARC → pages table),
-        # oracled against the fixture's by-construction golden
-        "warc_ingest": _warc_ingest,
-        # round 5 late: CDX random-access index over the same archives,
-        # offsets golden-gated from write-side cursors
+        # round 5 late: CDX random-access index over the WARC archives,
+        # offsets golden-gated from write-side cursors (the ingest head
+        # itself, warc_ingest, sits in the gate window — rotation #5)
         "warc_cdx": _warc_cdx,
         # round 5 late: recrawl freshness diff (full-outer snapshot join)
         "crawl_snapshot_diff": _crawl_snapshot_diff,
