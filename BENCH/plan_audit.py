@@ -48,6 +48,7 @@ AUDITED = [
     ("robots_crawl_gate", "relational robots parse (lag + running-sum sections, tiny per-host rows) -> size-driven rules join onto urls (auto-broadcast when tiny) -> rank-1 window (longest-prefix winner) -> default-allow left join"),
     ("host_components", "large/small-star rounds on string hosts: per round one groupBy + one equi-join, edges localCheckpoint'd; plan shown is the final labels join (iterations materialize)"),
     ("sitemap_ingest", "pure-map discovery feed: regexp_extract_all blocks -> ONE Generate (explode) -> codegen'd loc/lastmod extraction; zero shuffles"),
+    ("ann_pq_topk", "Arrow numpy encode (8 codes/vec) -> posexplode + BROADCAST LUT join -> (qid,nid) agg -> ADC top-R window -> broadcast candidates back onto the scan for exact-cosine refine -> top-k"),
     ("anchor_text_index", "(target,term) partial-count agg (hot nav terms combine map-side) -> row_number rank<=j compiled to WindowGroupLimit: partial top-j BELOW the exchange, mega-targets ship <=j rows per upstream partition"),
     ("corpus_curation_stats", "extract -> gates -> dedup semi-join -> split agg in ONE plan"),
     ("extraction_e2e", "one mapInArrow extract stage; the Exchange below it is the FIXTURE GENERATOR's salted distribution (the oracle corpus is generated, not scanned) — the production scan path has no pre-shuffle (bench.py extract_pages; ReadSchema pruning CI-gated)"),

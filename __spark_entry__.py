@@ -635,6 +635,28 @@ def _ann_ivf_topk(spark, sf_dir):
     return S.ann_topk_ivf(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, n_cells=16, n_probe=4)
 
 
+PQ_M, PQ_CODES, PQ_RERANK = 8, 16, 100
+
+
+def _ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN with exact re-rank (the FAISS refine
+    recipe): 8 one-byte codes per vector replace the 64 floats for the
+    scan, then the per-query top-100 code-space candidates re-rank with
+    the exact cosine — recall@10 0.88 vs the exact baseline at sf0.01
+    (floor-pinned in tests/test_dedup_ops.py). Every float collapses to
+    e4 BIGINT before aggregation; codebooks/LUT are data-derived and
+    sequential-summed, so the DuckDB twin is bit-identical end-to-end."""
+    return S.ann_topk_pq(
+        _t(spark, sf_dir, "embeddings"),
+        ANN_QUERY_IDS,
+        k=10,
+        m=PQ_M,
+        n_codes=PQ_CODES,
+        rerank=PQ_RERANK,
+        dim=EMB_DIM,
+    )
+
+
 def _ivf_train_centroids(spark, sf_dir):
     """Deterministic distributed k-means (the IVF quantizer trainer) — the
     iterative-algorithm class. Exact fixed-point statistics make the result
@@ -1756,6 +1778,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_components": _host_components,
         # round 5 late: sitemap crawl-discovery feed (urlset + sitemapindex)
         "sitemap_ingest": _sitemap_ingest,
+        # round 5 late: PQ+refine ANN — completes the ladder
+        # (exact → LSH → IVF → trained-IVF → PQ)
+        "ann_pq_topk": _ann_pq_topk,
     }
 
 
@@ -2947,6 +2972,61 @@ FROM '{warc_fixture(N_E2E)[1]}'
         "warc_cdx": f"""
 SELECT file, url, "offset", length, html_md5 AS digest, status, mime
 FROM '{warc_fixture(N_E2E)[1]}'
+""",
+        "ann_pq_topk": f"""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
+),
+e AS (
+  SELECT vec_id, raw,
+         list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS v
+  FROM e0
+),
+sub AS (
+  SELECT vec_id, CAST(j AS INTEGER) AS j,
+         v[CAST(j * {EMB_DIM // PQ_M} + 1 AS INTEGER):CAST((j + 1) * {EMB_DIM // PQ_M} AS INTEGER)] AS sv
+  FROM e, unnest(range(0, {PQ_M})) t(j)
+),
+cb AS (SELECT j, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {PQ_CODES}),
+enc AS (
+  SELECT vec_id, j, cid AS code FROM (
+    SELECT s.vec_id, s.j, cb.cid,
+           row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+             ((list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, cv)) + list_dot_product(cv, cv)) ASC,
+             cb.cid ASC) AS crk
+    FROM sub s JOIN cb USING (j)
+  ) WHERE crk = 1
+),
+q AS (SELECT vec_id AS qid, j, sv AS qv FROM sub WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})),
+lut AS (
+  SELECT qid, q.j, cb.cid AS code,
+         CAST(floor(10000.0 * ((list_dot_product(qv, qv) - 2.0 * list_dot_product(qv, cv)) + list_dot_product(cv, cv))) AS BIGINT) AS part_e4
+  FROM q JOIN cb USING (j)
+),
+adc AS (
+  SELECT lut.qid, enc.vec_id AS nid, CAST(sum(part_e4) AS BIGINT) AS dist_e4
+  FROM enc JOIN lut ON lut.j = enc.j AND lut.code = enc.code
+  GROUP BY lut.qid, enc.vec_id
+),
+cand AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY dist_e4 ASC, nid ASC) AS rk
+    FROM adc WHERE nid != qid
+  ) WHERE rk <= {PQ_RERANK}
+),
+rr AS (
+  SELECT cand.qid, cand.nid,
+         {_sql_fix('list_dot_product(qe.raw, ne.raw) / (sqrt(list_dot_product(qe.raw, qe.raw)) * sqrt(list_dot_product(ne.raw, ne.raw)))')} AS sim_e4
+  FROM cand JOIN e qe ON qe.vec_id = cand.qid JOIN e ne ON ne.vec_id = cand.nid
+),
+r AS (
+  SELECT qid, nid AS neighbor_id, sim_e4,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, nid ASC) AS BIGINT) AS rk
+  FROM rr
+)
+SELECT qid, neighbor_id, sim_e4, rk FROM r WHERE rk <= 10
 """,
         "sitemap_ingest": """
 WITH ks AS (SELECT DISTINCT doc_id % 20 AS kk FROM documents),

@@ -71,6 +71,7 @@ HEADLINE = [
     # immediately caught an O(words²) HOF re-evaluation (295s → 4.5s).
     "ivf_train_centroids",
     "ann_ivf_trained_topk",
+    "ann_pq_topk",
     "doc_winnow_fingerprints",
     # round 4 additions: real media decode + the distributed exact ntile
     "media_features",

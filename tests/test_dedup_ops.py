@@ -169,21 +169,25 @@ def test_ann_recall_floors(spark):
     assert len(exact) == 50
     lsh = pairs(S.ann_topk_lsh(emb, qids, k=10, dim=64))
     ivf = pairs(S.ann_topk_ivf(emb, qids, k=10, n_cells=16, n_probe=4))
+    pq = pairs(S.ann_topk_pq(emb, qids, k=10, m=8, n_codes=16, rerank=100, dim=64))
     lsh_recall = len(lsh & exact) / len(exact)
     ivf_recall = len(ivf & exact) / len(exact)
-    print(f"recall@10 — lsh: {lsh_recall:.3f}, ivf: {ivf_recall:.3f}")
+    pq_recall = len(pq & exact) / len(exact)
+    print(f"recall@10 — lsh: {lsh_recall:.3f}, ivf: {ivf_recall:.3f}, pq: {pq_recall:.3f}")
     report = {
         "metric": "ann_recall_at_10_vs_exact",
         "sf": "0.01",
         "n_queries": len(qids),
         "lsh": {"measured": lsh_recall, "floor": 0.80, "config": "16 bands x 4 planes"},
         "ivf": {"measured": ivf_recall, "floor": 0.85, "config": "n_cells=16 n_probe=4"},
+        "pq": {"measured": pq_recall, "floor": 0.80, "config": "m=8 codes=16 rerank=100"},
     }
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "ann_recall.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     assert lsh_recall >= 0.80, f"LSH recall regressed below measured-minus-margin: {lsh_recall}"
     assert ivf_recall >= 0.85, f"IVF recall regressed below measured-minus-margin: {ivf_recall}"
+    assert pq_recall >= 0.80, f"PQ recall regressed below measured-minus-margin: {pq_recall}"
 
 
 def test_ivf_salted_rerank_identical(spark):
