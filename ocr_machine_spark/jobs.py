@@ -64,6 +64,15 @@ def main(argv: list[str] | None = None) -> None:
         "catalog is configured on the session, else parquet under --output",
     )
     ap.add_argument(
+        "--decontaminate",
+        default=None,
+        help="curate only: parquet of benchmark/eval documents (text "
+        "column); training docs sharing any word 8-gram with it are "
+        "dropped with 'contaminated' in the reasons audit (GPT-3 "
+        "appendix-C hygiene; benchmark side broadcast, zero extra corpus "
+        "shuffle)",
+    )
+    ap.add_argument(
         "--diff-against",
         default=None,
         help="extract only: path of a PREVIOUS pages snapshot (parquet). "
@@ -112,12 +121,16 @@ def main(argv: list[str] | None = None) -> None:
     # one warning policy for every branch: flags that don't apply to the
     # selected job are named, never silently ignored
     inapplicable = {
-        "extract": (("--dedup-lines", args.dedup_lines, False),),
+        "extract": (
+            ("--dedup-lines", args.dedup_lines, False),
+            ("--decontaminate", args.decontaminate, None),
+        ),
         "linkgraph": (
             ("--buckets", args.buckets, 256),
             ("--output-table", args.output_table, None),
             ("--dedup-lines", args.dedup_lines, False),
             ("--diff-against", args.diff_against, None),
+            ("--decontaminate", args.decontaminate, None),
         ),
         "curate": (
             ("--buckets", args.buckets, 256),
@@ -131,6 +144,7 @@ def main(argv: list[str] | None = None) -> None:
             ("--output-table", args.output_table, None),
             ("--dedup-lines", args.dedup_lines, False),
             ("--diff-against", args.diff_against, None),
+            ("--decontaminate", args.decontaminate, None),
             # cdx always reads WARC; an explicit CONFLICTING format must be
             # named as ignored, not silently dropped into a parse error
             # ('auto' and 'warc' are both consistent with the job)
@@ -200,12 +214,16 @@ def main(argv: list[str] | None = None) -> None:
     if args.job == "curate":
         from ocr_machine_spark.plans.curate import run_curation
 
+        bench = (
+            spark.read.parquet(args.decontaminate) if args.decontaminate else None
+        )
         stats = run_curation(
             spark,
             pages,
             args.output,
             run_id=args.run_id,
             dedup_lines=args.dedup_lines,
+            bench=bench,
         )
         print(json.dumps(stats))
         spark.stop()

@@ -45,7 +45,11 @@ def _rewrite_deduped_lines(docs: DataFrame) -> DataFrame:
 
 
 def curate_documents(
-    docs: DataFrame, *, dedup_lines: bool = False
+    docs: DataFrame,
+    *,
+    dedup_lines: bool = False,
+    bench: DataFrame | None = None,
+    decon_k: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (curated docs frame, per-doc decision frame).
 
@@ -65,10 +69,40 @@ def curate_documents(
     the repetition gates. The decision frame gains ``n_lines``/
     ``n_lines_kept``; documents whose every line was a duplicate flow on
     with empty text and fall to the quality gate (their audit row keeps
-    them visible)."""
+    them visible).
+
+    ``bench`` (a frame with a ``text`` column) switches on train/test
+    DECONTAMINATION (GPT-3 appendix-C style, the published pre-training
+    hygiene pass): any document sharing a word ``decon_k``-gram with the
+    benchmark is dropped regardless of quality, with ``contaminated`` in
+    its reasons audit string — eval prompts must never reach training
+    data, however clean they look. The benchmark side is broadcast
+    (operators.textstats.benchmark_contamination), so the pass adds zero
+    shuffle of corpus text.
+    """
     if dedup_lines:
         docs = _rewrite_deduped_lines(docs)
     decision = gopher_filter(docs)
+    if bench is not None:
+        from ocr_machine_spark.operators.textstats import benchmark_contamination
+
+        cont = benchmark_contamination(docs, bench, k=decon_k).select(
+            "doc_id", "contaminated"
+        )
+        decision = (
+            decision.join(cont, "doc_id")
+            .withColumn(
+                "reasons",
+                # concat_ws skips NULLs on both engines: empty reasons →
+                # NULL so no leading comma; not-contaminated → NULL term
+                F.concat_ws(
+                    ",",
+                    F.nullif(F.col("reasons"), F.lit("")),
+                    F.when(F.col("contaminated"), F.lit("contaminated")),
+                ),
+            )
+            .withColumn("keep", F.col("keep") & ~F.col("contaminated"))
+        )
     fp = F.md5(norm_text(F.coalesce(F.col("text"), F.lit(""))))
     fps = docs.select("doc_id", fp.alias("fp"))
     d = decision.join(fps, "doc_id")
@@ -84,6 +118,8 @@ def curate_documents(
         d.filter(F.col("survivor")).select("doc_id", "fp"), "doc_id"
     )
     audit_cols = ["doc_id", "n_words", "keep", "reasons", "fp", "survivor"]
+    if bench is not None:
+        audit_cols.append("contaminated")
     if dedup_lines:
         d = d.join(docs.select("doc_id", "n_lines", "n_lines_kept"), "doc_id")
         audit_cols += ["n_lines", "n_lines_kept"]
@@ -97,6 +133,7 @@ def run_curation(
     *,
     run_id: str,
     dedup_lines: bool = False,
+    bench: DataFrame | None = None,
 ) -> dict:
     """Write curated docs + decision audit table under ``out_dir``;
     → run stats (input/kept/survivor counts and the drop-reason histogram).
@@ -104,7 +141,7 @@ def run_curation(
     Dataflow: only the DECISION frame is computed from the live plan; the
     curated table and the stats both derive from the decisions parquet read
     back after the write, so the three outputs can never disagree."""
-    _, decision = curate_documents(docs, dedup_lines=dedup_lines)
+    _, decision = curate_documents(docs, dedup_lines=dedup_lines, bench=bench)
     decision.write.mode("overwrite").parquet(f"{out_dir}/decisions")
     # read the audit table back and derive BOTH outputs from it — one
     # computation of the (nondeterminism-free) plan, stats match the files
@@ -143,4 +180,8 @@ def run_curation(
         ).collect()[0]
         stats["lines_in"] = int(lc["li"] or 0)
         stats["lines_kept"] = int(lc["lk"] or 0)
+    if bench is not None:
+        stats["docs_contaminated"] = int(
+            dec.agg(F.sum(F.col("contaminated").cast("long"))).collect()[0][0] or 0
+        )
     return stats

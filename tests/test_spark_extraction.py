@@ -250,3 +250,36 @@ def test_curation_job_line_dedup_stage(spark, tmp_path):
     assert {k: v for k, v in s2.items() if k != "run_id"} == {
         k: v for k, v in s1.items() if k != "run_id"
     }
+
+
+def test_curation_decontaminates(spark, tmp_path):
+    """--decontaminate path of the curate plan: docs sharing a word 8-gram
+    with the benchmark are dropped REGARDLESS of quality, audit rows carry
+    'contaminated' appended to any quality reasons, and clean docs are
+    untouched."""
+    from ocr_machine_spark.plans.curate import run_curation
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    # 30 distinct 8-char words: inside the corpus-adapted Gopher bounds
+    # (20-80 words, mean word len 3-10, no repetition)
+    filler = " ".join(f"term{i:02d}xy"[0:8] for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{filler} {leak}", "a"),   # good quality + leaked
+            (2, f"{filler} more fine words", "a"),  # good quality, clean
+            (3, f"tiny {leak}", "a"),       # bad quality AND leaked
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame([(leak,)], "text string")
+    out = str(tmp_path / "c")
+    stats = run_curation(spark, docs, out, run_id="t", bench=bench)
+    assert stats["docs_contaminated"] == 2
+    dec = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/decisions").collect()}
+    assert dec[1]["contaminated"] and not dec[1]["keep"]
+    assert dec[1]["reasons"] == "contaminated"  # quality-clean, only reason
+    assert dec[2]["keep"] and not dec[2]["contaminated"]
+    assert dec[3]["contaminated"] and not dec[3]["keep"]
+    assert dec[3]["reasons"].endswith(",contaminated")  # appended after quality
+    curated = {r["doc_id"] for r in spark.read.parquet(f"{out}/curated").collect()}
+    assert curated == {2}

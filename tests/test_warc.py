@@ -159,3 +159,24 @@ def test_incremental_extraction_cli(spark, tmp_path):
     assert stats["diff_changed"] > 0 and stats["diff_unchanged"] > 0
     assert stats["diff_changed"] + stats["diff_unchanged"] == 200
     assert stats["pages_ok"] == stats["diff_changed"]  # only changed extracted
+
+
+def test_warc_parser_totality_property():
+    """Totality contract over arbitrary bytes (same discipline as the pages
+    degrader property test): the parser either yields records or raises
+    ValueError — never any other exception type, from either entry point."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    prefix = st.sampled_from([b"", b"\x1f\x8b", b"WARC/1.0\r\n", _rec()[:40], _rec()])
+
+    @settings(max_examples=300, deadline=None)
+    @given(prefix, st.binary(max_size=300))
+    def run(pre, junk):
+        for fn in (W.iter_warc_records, W.iter_warc_cdx):
+            try:
+                list(fn(pre + junk))
+            except ValueError:
+                pass
+
+    run()
