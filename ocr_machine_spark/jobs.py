@@ -240,7 +240,11 @@ def main(argv: list[str] | None = None) -> None:
 
         fp = lambda df: df.select("url", F.md5(F.col("html")).alias("fp"))  # noqa: E731
         old_pages = spark.read.parquet(args.diff_against)
-        diff = snapshot_diff(fp(old_pages), fp(pages))
+        # materialize the diff ONCE: three consumers follow (the histogram
+        # collect, the semi-join inside the extraction write, and lineage's
+        # rows_in count) — without the barrier each would re-scan + re-md5
+        # both snapshots, tripling the dominant cost at 100 TB
+        diff = snapshot_diff(fp(old_pages), fp(pages)).localCheckpoint(eager=True)
         counts = {r["change"]: r["n"] for r in diff.groupBy("change").agg(
             F.count("*").alias("n")).collect()}
         diff_stats = {f"diff_{k}": counts.get(k, 0) for k in

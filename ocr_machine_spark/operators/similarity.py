@@ -534,6 +534,48 @@ def _centroid_stats(
     )
 
 
+def _exact_rerank_topk(
+    emb: DataFrame,
+    cand: DataFrame,
+    query_ids: list[int],
+    k: int,
+    *,
+    key: str,
+    vec: str,
+    dim: int,
+) -> DataFrame:
+    """Shared refine stage of the candidate-generating ANN tiers
+    (ann_topk_lsh, ann_topk_pq): exact cosine over ``cand`` (qid, nid)
+    pairs → per-query top-k. Expressions are identical to cosine_topk's
+    (codegen'd ``dot_unrolled_sql``, one norm per row, fixed-point scores,
+    sim DESC / nid ASC total order) so the three paths can never diverge;
+    candidates are small by construction (O(queries·candidates)) and
+    broadcast onto the scan side."""
+    from pyspark.sql.window import Window
+
+    v = F.col(vec).cast("array<double>")
+    base = emb.select(F.col(key).alias("nid"), v.alias("v")).withColumn(
+        "vn", F.expr(f"SQRT({dot_unrolled_sql('v', 'v', dim)})")
+    )
+    q = (
+        emb.filter(F.col(key).isin(query_ids))
+        .select(F.col(key).alias("qid"), v.alias("qv"))
+        .withColumn("qn", F.expr(f"SQRT({dot_unrolled_sql('qv', 'qv', dim)})"))
+    )
+    sim = F.expr(f"{dot_unrolled_sql('qv', 'v', dim)} / (qn * vn)")
+    scored = (
+        base.join(F.broadcast(cand), "nid")
+        .join(F.broadcast(q), "qid")
+        .withColumn("sim_e4", fixed_point(sim))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim_e4").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("qid", F.col("nid").alias("neighbor_id"), "sim_e4", "rk")
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame,
     query_ids: list[int],
@@ -571,14 +613,6 @@ def ann_topk_lsh(
     bb = srp_band_buckets(
         emb, dim=dim, bands=bands, planes_per_band=planes_per_band, key=key, vec=vec
     ).cache()  # tiny (n·bands rows); BOTH qb and the candidate join consume it
-    v = F.col(vec).cast("array<double>")
-    norm = f"SQRT({dot_unrolled_sql('v', 'v', dim)})"
-    base = emb.select(F.col(key).alias("nid"), v.alias("v")).withColumn("vn", F.expr(norm))
-    q = (
-        emb.filter(F.col(key).isin(query_ids))
-        .select(F.col(key).alias("qid"), v.alias("qv"))
-        .withColumn("qn", F.expr(f"SQRT({dot_unrolled_sql('qv', 'qv', dim)})"))
-    )
     qb = bb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"), "band", "bucket"
     )
@@ -594,16 +628,7 @@ def ann_topk_lsh(
         .localCheckpoint(eager=True)
     )
     bb.unpersist()
-    sim = F.expr(f"{dot_unrolled_sql('qv', 'v', dim)} / (qn * vn)")
-    scored = (
-        cand.join(base, "nid").join(F.broadcast(q), "qid").withColumn("sim_e4", fixed_point(sim))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("sim_e4").desc(), F.col("nid").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= k)
-        .select("qid", F.col("nid").alias("neighbor_id"), "sim_e4", "rk")
-    )
+    return _exact_rerank_topk(emb, cand, query_ids, k, key=key, vec=vec, dim=dim)
 
 
 def _py_seq_dot(a, b) -> float:
@@ -653,7 +678,13 @@ def ann_topk_pq(
     relational form is chosen here because it keeps every step
     SQL-replicable for the oracle gate.
 
-    → (qid, neighbor_id, dist_e4, rk) — ASCENDING distance, id tiebreak.
+    → with the default ``rerank``: (qid, neighbor_id, sim_e4, rk), cosine
+    DESCENDING with id tiebreak (same contract as cosine_topk — results
+    are directly comparable for recall). With ``rerank=None`` (pure codes,
+    no refine): (qid, neighbor_id, dist_e4, rk), ASCENDING code-space
+    distance. Zero-norm vectors are excluded on every path (codebook
+    seeds excepted — those raise, a degenerate quantizer is a caller
+    error, not a data row).
     """
     import math
 
@@ -666,20 +697,27 @@ def ann_topk_pq(
     emb = _valid_vecs(emb, vec, dim)
 
     def _norm_rows(rows):
+        # zero-norm vectors are EXCLUDED, not divided (never-raise-per-row
+        # convention, see _valid_vecs): one all-zero row must degrade to
+        # "skipped", never ZeroDivisionError-on-the-driver
         out = {}
         for rid, raw in rows:
             v = [float(x) for x in raw]
             vn = math.sqrt(_py_seq_dot(v, v))
-            out[rid] = [x / vn for x in v]
+            if vn > 0.0:
+                out[rid] = [x / vn for x in v]
         return out
 
     cb_rows = [
         (r[0], list(r[1]))
         for r in emb.filter(F.col(key) < n_codes).select(key, vec).collect()
     ]
-    if len(cb_rows) < n_codes:
-        raise ValueError(f"need ids [0, {n_codes}) as codebook seeds, got {len(cb_rows)}")
-    cb_n = _norm_rows(sorted(cb_rows))
+    cb_n = _norm_rows(cb_rows)
+    if len(cb_n) < n_codes:
+        raise ValueError(
+            f"need {n_codes} non-degenerate ids in [0, {n_codes}) as codebook "
+            f"seeds, got {len(cb_n)} (missing or zero-norm vectors)"
+        )
     # cb[j][c] = codebook subvector; cbcb[j][c] = its sequential self-dot
     cb = [[cb_n[c][j * ds : (j + 1) * ds] for c in sorted(cb_n)] for j in range(m)]
     cbcb = [[_py_seq_dot(sv, sv) for sv in cb[j]] for j in range(m)]
@@ -712,6 +750,10 @@ def ann_topk_pq(
             ids = pdf[key].to_numpy()
             mat = np.vstack(pdf[vec].to_numpy()).astype(np.float64)
             vn = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+            ok = vn > 0.0  # zero-norm rows excluded, same rule as _norm_rows
+            ids, mat, vn = ids[ok], mat[ok], vn[ok]
+            if not len(ids):
+                continue
             nm = mat / vn[:, None]
             codes = np.empty((len(ids), m), dtype=np.int32)
             for j in range(m):
@@ -749,26 +791,4 @@ def ann_topk_pq(
         .filter(F.col("rk") <= rerank)
         .select("qid", "nid")
     )
-    v = F.col(vec).cast("array<double>")
-    base = emb.select(F.col(key).alias("nid"), v.alias("v")).withColumn(
-        "vn", F.expr(f"SQRT({dot_unrolled_sql('v', 'v', dim)})")
-    )
-    q = (
-        emb.filter(F.col(key).isin(query_ids))
-        .select(F.col(key).alias("qid"), v.alias("qv"))
-        .withColumn("qn", F.expr(f"SQRT({dot_unrolled_sql('qv', 'qv', dim)})"))
-    )
-    rr = (
-        base.join(F.broadcast(cand), "nid")
-        .join(F.broadcast(q), "qid")
-        .withColumn(
-            "sim_e4",
-            fixed_point(F.expr(f"{dot_unrolled_sql('qv', 'v', dim)} / (qn * vn)")),
-        )
-    )
-    w2 = Window.partitionBy("qid").orderBy(F.col("sim_e4").desc(), F.col("nid").asc())
-    return (
-        rr.withColumn("rk", F.row_number().over(w2).cast("long"))
-        .filter(F.col("rk") <= k)
-        .select("qid", F.col("nid").alias("neighbor_id"), "sim_e4", "rk")
-    )
+    return _exact_rerank_topk(emb, cand, query_ids, k, key=key, vec=vec, dim=dim)

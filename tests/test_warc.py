@@ -148,11 +148,14 @@ def test_incremental_extraction_cli(spark, tmp_path):
         ).otherwise(F.col("html")),
     ).write.parquet(new_p)
 
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     res = subprocess.run(
         [sys.executable, "ocr_machine_spark/jobs.py", "--input", new_p,
          "--diff-against", old_p, "--output", out, "--run-id", "d1",
          "--buckets", "4", "--master", "local[4]"],
-        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        capture_output=True, text=True, cwd=repo_root, timeout=300,
     )
     assert res.returncode == 0, res.stderr[-2000:]
     stats = json.loads(res.stdout.strip().splitlines()[-1])
