@@ -1108,6 +1108,37 @@ def _sitemap_ingest(spark, sf_dir):
     return sitemap_entries(sitemaps)
 
 
+def _robots_crawl_delays(spark, sf_dir):
+    """Politeness extraction over an in-query robots fixture: fractional
+    and integer Crawl-delay values, a repeat (max wins), a malformed value
+    ('soon' — must be ignored, not kill the job: ANSI try_cast), a
+    non-star group's directive (ignored), and directive-free hosts
+    (absent from the output)."""
+    from ocr_machine_spark.operators.robots import robots_crawl_delays
+
+    docs = _t(spark, sf_dir, "documents")
+    ks = docs.select((F.col("doc_id") % 20).alias("kk")).distinct()
+    k = F.col("kk").cast("string")
+    delay_val = (
+        F.when(F.col("kk") % 4 == 0, F.lit("2"))
+        .when(F.col("kk") % 4 == 1, F.lit("0.5"))
+        .when(F.col("kk") % 4 == 2, F.lit("soon"))
+        .otherwise(F.lit("1.25"))
+    )
+    body = F.concat(
+        F.lit("User-agent: megabot\nCrawl-delay: 99\n\nUser-agent: *\n"),
+        F.when(F.col("kk") % 5 == 4, F.lit("Disallow: /none\n")).otherwise(
+            F.concat(F.lit("Crawl-delay: "), delay_val, F.lit("\n"))
+        ),
+        F.when(F.col("kk") % 3 == 0, F.lit("Crawl-delay: 10\n")).otherwise(F.lit("")),
+    )
+    robots = ks.select(
+        F.concat(F.lit("h"), k, F.lit(".example")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    return robots_crawl_delays(robots)
+
+
 def _host_components(spark, sf_dir):
     """Weakly-connected site clusters over a host graph — mirror-detection /
     site-grouping tier (the webgraph sibling of dedup survivor selection).
@@ -1781,6 +1812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 late: PQ+refine ANN — completes the ladder
         # (exact → LSH → IVF → trained-IVF → PQ)
         "ann_pq_topk": _ann_pq_topk,
+        # round 5 late: Crawl-delay politeness (shared robots group parse)
+        "robots_crawl_delays": _robots_crawl_delays,
     }
 
 
@@ -3079,6 +3112,56 @@ SELECT h.host,
        least(h.host, coalesce(m.mn, h.host)) AS rep,
        (least(h.host, coalesce(m.mn, h.host)) = h.host) AS keep
 FROM hosts h LEFT JOIN m ON m.node = h.host
+""",
+        "robots_crawl_delays": """
+WITH ks AS (SELECT DISTINCT doc_id % 20 AS kk FROM documents),
+robots AS (
+  SELECT 'h' || CAST(kk AS VARCHAR) || '.example' AS host,
+         'User-agent: megabot' || chr(10) || 'Crawl-delay: 99' || chr(10) || chr(10) ||
+         'User-agent: *' || chr(10) ||
+         CASE WHEN kk % 5 = 4 THEN 'Disallow: /none' || chr(10)
+              ELSE 'Crawl-delay: ' ||
+                   CASE CAST(kk % 4 AS INTEGER)
+                     WHEN 0 THEN '2' WHEN 1 THEN '0.5' WHEN 2 THEN 'soon'
+                     ELSE '1.25' END || chr(10) END ||
+         CASE WHEN kk % 3 = 0 THEN 'Crawl-delay: 10' || chr(10) ELSE '' END AS body
+  FROM ks
+),
+lines AS (
+  SELECT host, CAST(i AS INTEGER) AS idx,
+         trim(regexp_replace(ls[CAST(i AS INTEGER)], '#.*$', '', 'g')) AS clean
+  FROM (SELECT host, string_split(body, chr(10)) AS ls FROM robots),
+       unnest(range(1, len(ls) + 1)) t(i)
+),
+parsed AS (
+  SELECT host, idx,
+         CASE WHEN instr(clean, ':') > 0 THEN lower(trim(split_part(clean, ':', 1))) ELSE '' END AS key,
+         CASE WHEN instr(clean, ':') > 0 THEN trim(substring(clean, instr(clean, ':') + 1)) ELSE '' END AS val
+  FROM lines
+),
+mark AS (
+  SELECT host, idx, key, val,
+         CASE WHEN key = 'user-agent'
+              AND coalesce(lag(CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY host ORDER BY idx), 0) = 0
+              THEN 1 ELSE 0 END AS opens
+  FROM parsed
+),
+sec AS (
+  SELECT host, key, val,
+         sum(opens) OVER (PARTITION BY host ORDER BY idx ROWS UNBOUNDED PRECEDING) AS section
+  FROM mark
+),
+star AS (SELECT DISTINCT host, section FROM sec WHERE key = 'user-agent' AND val = '*'),
+d AS (
+  SELECT sec.host, TRY_CAST(val AS DOUBLE) AS secs
+  FROM sec JOIN star USING (host, section)
+  WHERE key = 'crawl-delay'
+)
+SELECT host,
+       CAST(max(CAST(floor(secs * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS crawl_delay_ms
+FROM d WHERE secs IS NOT NULL AND secs >= 0
+GROUP BY host
 """,
         "robots_crawl_gate": """
 WITH ks AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),

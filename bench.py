@@ -101,6 +101,7 @@ HEADLINE = [
     "warc_cdx",
     "crawl_snapshot_diff",
     "robots_crawl_gate",
+    "robots_crawl_delays",
     "host_components",
     "sitemap_ingest",
 ]

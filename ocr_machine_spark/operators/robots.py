@@ -36,11 +36,13 @@ from pyspark.sql import functions as F
 from ocr_machine_spark.operators.urls import canon_host, host_of
 
 
-def robots_rules(
-    robots: DataFrame, *, host: str = "host", body: str = "robots_txt"
-) -> DataFrame:
-    """(host, robots_txt) → one row per ``*``-group rule:
-    (host, allow, prefix)."""
+def _parsed_sections(robots: DataFrame, host: str, body: str):
+    """Shared robots parse: (host, robots_txt) → (sec, star_sections) —
+    ``sec`` is one row per line with lowercased directive key, value, and
+    the group-section number (lag marks group openers, running sum numbers
+    them); ``star_sections`` is the (host, section) set naming ``*``.
+    Both robots_rules and robots_crawl_delays consume this, so the group
+    semantics can never diverge between permission and politeness."""
     # canonicalize the host key at the source: the check side derives its
     # key via host_of, and a robots table keyed by the literal fetched
     # hostname ('www.Example.COM') would otherwise never match — the gate
@@ -68,7 +70,6 @@ def robots_rules(
     opens = (is_ua == 1) & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0)
     sec = parsed.select(
         "host",
-        "idx",
         "key",
         "val",
         F.sum(opens.cast("int")).over(
@@ -80,6 +81,15 @@ def robots_rules(
         .select("host", "section")
         .distinct()
     )
+    return sec, star_sections
+
+
+def robots_rules(
+    robots: DataFrame, *, host: str = "host", body: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) → one row per ``*``-group rule:
+    (host, allow, prefix)."""
+    sec, star_sections = _parsed_sections(robots, host, body)
     rules = sec.filter(
         F.col("key").isin("allow", "disallow") & (F.col("val") != "")
     ).select(
@@ -121,3 +131,31 @@ def robots_check(urls: DataFrame, rules: DataFrame, *, url: str = "url") -> Data
         F.coalesce(F.col("allowed"), F.lit(True)).alias("allowed"),
         "rule_prefix",
     )
+
+
+def robots_crawl_delays(
+    robots: DataFrame, *, host: str = "host", body: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) → (host, crawl_delay_ms): the politeness input a
+    crawl scheduler consumes per host (the de-facto ``Crawl-delay``
+    extension — not in RFC 9309 but honored by major crawlers). Only
+    ``*``-group directives count (same group semantics as robots_rules —
+    the parse is shared); non-numeric or negative values are ignored; when
+    a file repeats the directive the MAXIMUM delay wins (the conservative
+    reading). Seconds may be fractional ('0.5'); output is exact integer
+    milliseconds via e3 fixed-point (floor(x*1000 + 0.5), engines agree).
+    Hosts with no valid directive are absent — the scheduler's default
+    applies."""
+    sec, star_sections = _parsed_sections(robots, host, body)
+    # try_cast, not cast: under ANSI mode (pyspark ≥ 4 default) a plain
+    # cast THROWS on 'Crawl-delay: soon' — one malformed robots line must
+    # degrade to "directive ignored", never kill the job
+    secs = F.expr("try_cast(val AS DOUBLE)")
+    delays = (
+        sec.filter(F.col("key") == "crawl-delay")
+        .join(star_sections, ["host", "section"])
+        .select("host", secs.alias("secs"))
+        .filter(F.col("secs").isNotNull() & (F.col("secs") >= 0))
+        .select("host", F.floor(F.col("secs") * 1000.0 + 0.5).cast("long").alias("ms"))
+    )
+    return delays.groupBy("host").agg(F.max("ms").alias("crawl_delay_ms"))

@@ -363,3 +363,21 @@ def test_sitemap_entries(spark):
         "https://a/s1.xml": ("sitemap", "2024-02-02"),
         "https://a/s2.xml": ("sitemap", None),
     }
+
+
+def test_robots_crawl_delays(spark):
+    """Crawl-delay politeness: star-group only, max-of-repeats, fractional
+    seconds → exact ms, non-numeric/negative ignored, absent hosts absent."""
+    from ocr_machine_spark.operators.robots import robots_crawl_delays
+
+    robots = spark.createDataFrame(
+        [
+            ("a.example", "User-agent: megabot\nCrawl-delay: 99\n\n"
+             "User-agent: *\nCrawl-delay: 0.5\nCrawl-delay: 2\n"),
+            ("b.example", "User-agent: *\nCrawl-delay: soon\nCrawl-delay: -1\n"),
+            ("c.example", "User-agent: *\nDisallow: /x\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {r["host"]: r["crawl_delay_ms"] for r in robots_crawl_delays(robots).collect()}
+    assert got == {"a.example": 2000}  # max(500, 2000); megabot's 99 ignored
