@@ -46,6 +46,7 @@ AUDITED = [
     ("warc_cdx", "same pure-map shape as ingest but emits (file, offset, length, digest) index rows; the production job adds ONE range-partition sort exchange over index rows (url-sorted output)"),
     ("crawl_snapshot_diff", "ONE full-outer equi-join on url (SMJ; co-locates on bucketed snapshots) + pure post-join CASE projection — no second pass"),
     ("robots_crawl_gate", "relational robots parse (lag + running-sum sections, tiny per-host rows) -> size-driven rules join onto urls (auto-broadcast when tiny) -> rank-1 window (longest-prefix winner) -> default-allow left join"),
+    ("robots_crawl_delays", "same shared section parse -> star-section join -> try_cast + per-host max agg; all shuffles keyed on host (tiny per-host rows)"),
     ("host_components", "large/small-star rounds on string hosts: per round one groupBy + one equi-join, edges localCheckpoint'd; plan shown is the final labels join (iterations materialize)"),
     ("sitemap_ingest", "pure-map discovery feed: regexp_extract_all blocks -> ONE Generate (explode) -> codegen'd loc/lastmod extraction; zero shuffles after the fixture generator's distinct (the production scan path has no pre-shuffle)"),
     ("ann_pq_topk", "Arrow numpy encode (8 codes/vec) -> posexplode + BROADCAST LUT join -> (qid,nid) agg -> ADC top-R window -> broadcast candidates back onto the scan for exact-cosine refine -> top-k"),
