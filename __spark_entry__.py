@@ -1184,7 +1184,7 @@ def _robots_crawl_gate(spark, sf_dir):
     body = F.concat(
         F.lit(
             "# corp policy\nUser-agent: megabot\nDisallow: /\n\n"
-            "User-agent: *\nUser-agent: other\n"
+            "User-agent: *\n# merged group (comment invisible per RFC 9309)\nUser-agent: other\n"
             "Disallow: /tmp\nAllow: /tmp/ok\nDisallow:\n"
         ),
         F.when(F.col("k") % 3 == 0, F.lit("Disallow: /private\n")).otherwise(F.lit("")),
@@ -3145,7 +3145,7 @@ mark AS (
               AND coalesce(lag(CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END)
                            OVER (PARTITION BY host ORDER BY idx), 0) = 0
               THEN 1 ELSE 0 END AS opens
-  FROM parsed
+  FROM parsed WHERE key <> ''
 ),
 sec AS (
   SELECT host, key, val,
@@ -3169,7 +3169,7 @@ robots AS (
   SELECT 'h' || CAST(k AS VARCHAR) || '.example' AS host,
          '# corp policy' || chr(10) ||
          'User-agent: megabot' || chr(10) || 'Disallow: /' || chr(10) || chr(10) ||
-         'User-agent: *' || chr(10) || 'User-agent: other' || chr(10) ||
+         'User-agent: *' || chr(10) || '# merged group (comment invisible per RFC 9309)' || chr(10) || 'User-agent: other' || chr(10) ||
          'Disallow: /tmp' || chr(10) || 'Allow: /tmp/ok' || chr(10) || 'Disallow:' || chr(10) ||
          CASE WHEN k % 3 = 0 THEN 'Disallow: /private' || chr(10) ELSE '' END ||
          CASE WHEN k % 4 = 0 THEN 'Allow: /' || chr(10) ELSE '' END AS body
@@ -3193,7 +3193,7 @@ mark AS (
               AND coalesce(lag(CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END)
                            OVER (PARTITION BY host ORDER BY idx), 0) = 0
               THEN 1 ELSE 0 END AS opens
-  FROM parsed
+  FROM parsed WHERE key <> ''
 ),
 sec AS (
   SELECT host, idx, key, val,

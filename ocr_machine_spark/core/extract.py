@@ -362,8 +362,12 @@ def resolve_href(base_url: str, href: str) -> str | None:
     if m is None:
         return None  # base itself unparseable: no resolution possible
     scheme, auth = m.group(1), m.group(2)
-    if _HAS_SCHEME_RE.match(href):
-        return href if href.startswith(("http://", "https://")) else None
+    hm = _HAS_SCHEME_RE.match(href)
+    if hm:
+        # RFC 3986 §3.1: schemes are case-insensitive — 'HTTP://host/x' is a
+        # valid crawlable link. Compare the scheme lowercased but keep the
+        # href itself verbatim (canonicalization happens downstream).
+        return href if hm.group(0).lower() in ("http:", "https:") else None
     if href.startswith("//"):
         return f"{scheme}{href}"
     if href.startswith("/"):

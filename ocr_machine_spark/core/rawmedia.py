@@ -206,6 +206,14 @@ def decode_png(data: bytes) -> np.ndarray:
             body = data[pos + 8 : pos + 8 + length]
             if len(body) != length:
                 raise ValueError("truncated PNG chunk")
+            crc_bytes = data[pos + 8 + length : pos + 12 + length]
+            if len(crc_bytes) != 4:
+                raise ValueError("truncated PNG chunk CRC")
+            # verify the stored CRC (type+body, ISO 3309 as PNG specifies):
+            # a corrupted-but-length-consistent chunk must fail loudly, not
+            # decode garbage silently
+            if struct.unpack(">I", crc_bytes)[0] != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+                raise ValueError(f"PNG chunk CRC mismatch ({ctype!r})")
             if ctype == b"IHDR":
                 w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
                 if comp != 0 or filt != 0:

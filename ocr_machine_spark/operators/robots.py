@@ -4,7 +4,9 @@ pipeline runs before fetching (RFC 9309, the Robots Exclusion Protocol).
 Documented subset (the twin SQL reproduces it exactly):
 * groups: consecutive ``User-agent:`` lines open a group that owns the
   following Allow/Disallow rules; only groups naming ``*`` apply (no
-  per-product-token matching);
+  per-product-token matching); comments and blank lines are invisible to
+  grouping (RFC 9309 §2.2.1) — two User-agent lines separated only by a
+  comment still merge into one group;
 * rules: literal path prefixes (no ``*``/``$`` wildcards); empty-value
   rules are no-ops per the RFC ("Disallow:" alone permits everything);
 * decision: longest matching prefix wins; on a length tie Allow wins;
@@ -64,6 +66,12 @@ def _parsed_sections(robots: DataFrame, host: str, body: str):
         F.when(has_colon, key).otherwise(F.lit("")).alias("key"),
         F.when(has_colon, val).otherwise(F.lit("")).alias("val"),
     )
+    # RFC 9309 treats comments and blank lines as invisible: two
+    # User-agent lines separated only by a comment still open ONE merged
+    # group. Drop empty parsed rows BEFORE the lag window, or the ''-key
+    # row between them would make the second UA look like a group opener
+    # and the gate would fail open (allow) for '*'.
+    parsed = parsed.filter(F.col("key") != "")
     w = Window.partitionBy("host").orderBy("idx")
     is_ua = (F.col("key") == "user-agent").cast("int")
     # a user-agent line whose predecessor is NOT one opens a new group

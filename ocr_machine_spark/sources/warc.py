@@ -138,7 +138,17 @@ def _iter_plain(data: bytes) -> Iterator[tuple[int, int, bytes]]:
         yield start, pos - start, data[start:body_end]
 
 
-def _iter_members(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+# Per-member inflation cap: a crafted or corrupt .warc.gz member that
+# inflates to many GB must fail the record, not OOM the executor (same
+# defense as decode_png's IHDR-bounded inflate). 256 MiB is ~100× the
+# largest real-world WARC response record; override per call if an
+# archive legitimately exceeds it.
+MAX_INFLATED_MEMBER = 1 << 28
+
+
+def _iter_members(
+    data: bytes, *, max_member_bytes: int = MAX_INFLATED_MEMBER
+) -> Iterator[tuple[int, int, bytes]]:
     """Yield (offset, compressed_length, member) gzip members one at a time
     (streaming — never inflate the whole file at once). The compressed span
     is what a CDX index stores for .warc.gz: readers range-request exactly
@@ -156,17 +166,29 @@ def _iter_members(data: bytes) -> Iterator[tuple[int, int, bytes]]:
         d = zlib.decompressobj(wbits=31)
         out: list[bytes] = []
         fed = 0
+        produced = 0
         while not d.eof:
             if pos + fed >= n:
                 raise ValueError("truncated gzip member in .warc.gz")
             chunk = mv[pos + fed : pos + fed + chunk_sz]
             try:
-                out.append(d.decompress(chunk))
+                # max_length bounds the inflate: one byte past the cap is
+                # enough to detect overflow without materializing it
+                piece = d.decompress(chunk, max_member_bytes + 1 - produced)
             except zlib.error as exc:
                 # corrupt member / trailing garbage between members: keep
                 # the module's ValueError taxonomy (callers catch it per
                 # test_error_taxonomy; a raw zlib.error would escape)
                 raise ValueError(f"bad gzip member at offset {pos}: {exc}") from exc
+            produced += len(piece)
+            if produced > max_member_bytes:
+                raise ValueError(
+                    f"gzip member at offset {pos} exceeds size cap "
+                    f"({max_member_bytes} bytes inflated)"
+                )
+            # cap not hit → the decompressor consumed the whole chunk
+            # (unconsumed_tail is only non-empty when max_length stopped it)
+            out.append(piece)
             fed += len(chunk)
         consumed = fed - len(d.unused_data)
         yield pos, consumed, b"".join(out)

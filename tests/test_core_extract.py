@@ -312,6 +312,10 @@ def test_resolve_href_spec():
     assert resolve_href(base, "http://a.com/") == "http://a.com/"
     assert resolve_href(base, "mailto:x@y.com") is None
     assert resolve_href(base, "javascript:void(0)") is None
+    # RFC 3986 §3.1: scheme comparison is case-insensitive; href kept verbatim
+    assert resolve_href(base, "HTTP://a.com/UP") == "HTTP://a.com/UP"
+    assert resolve_href(base, "Https://a.com/x") == "Https://a.com/x"
+    assert resolve_href(base, "MAILTO:x@y.com") is None
     # fragment-only / empty → dropped
     assert resolve_href(base, "#top") is None
     assert resolve_href(base, "") is None

@@ -301,6 +301,22 @@ def test_robots_rules_and_check(spark):
     assert got["https://other.example/tmp/x"] == (True, None)
 
 
+def test_robots_comment_between_user_agents_merges_group(spark):
+    """RFC 9309 §2.2.1: comments and blank lines are invisible to grouping.
+    'User-agent: *\\n# note\\nUser-agent: b\\nDisallow: /x' is ONE merged
+    group — /x must bind to '*' too, not only to b (the pre-fix behavior
+    split the group at the comment and the gate failed open for '*')."""
+    from ocr_machine_spark.operators.robots import robots_check, robots_rules
+
+    body = "User-agent: *\n# note\n\nUser-agent: b\nDisallow: /x\n"
+    robots = spark.createDataFrame([("h.example", body)], "host string, robots_txt string")
+    rules = {(r["allow"], r["prefix"]) for r in robots_rules(robots).collect()}
+    assert rules == {(False, "/x")}
+    urls = spark.createDataFrame([("https://h.example/x/1",)], "url string")
+    got = robots_check(urls, robots_rules(robots)).collect()
+    assert got[0]["allowed"] is False and got[0]["rule_prefix"] == "/x"
+
+
 def test_snapshot_diff_null_fp_is_unknown_not_absent(spark):
     """NULL fingerprints mean unknown content: present-in-both rows must
     never classify added/removed (presence is tracked by markers, not fp

@@ -120,6 +120,18 @@ def test_png_error_taxonomy():
         RM.decode_png(inter)
 
 
+def test_png_chunk_crc_is_verified():
+    """A corrupted-but-length-consistent chunk body must fail the stored
+    CRC check (ValueError), never decode garbage silently. Flipping a byte
+    inside the IHDR body keeps framing valid but invalidates its CRC."""
+    good = RM.encode_png(_arr((4, 4), np.uint8))
+    bad = bytearray(good)
+    ihdr_body = good.find(b"IHDR") + 4
+    bad[ihdr_body + 8] ^= 0x01  # bit-depth byte: framing intact, CRC stale
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        RM.decode_png(bytes(bad))
+
+
 def test_image_native_variants_and_rgb8_recovery():
     """PNG assets cycle gray8/rgb8/gray16/rgb16; the canonical rgb8 view of
     every 16-bit variant recovers the 8-bit source exactly (content is

@@ -125,6 +125,19 @@ def test_gzip_garbage_raises_value_error():
         list(W.iter_warc_records(gz + b"\x00garbage\x00" * 4))
 
 
+def test_gzip_bomb_member_is_capped():
+    """A member that inflates past the per-member cap must raise the
+    module's ValueError (bounded memory — same defense as decode_png's
+    IHDR-bounded inflate), never materialize gigabytes on the executor."""
+    import gzip as _gzip
+
+    bomb = _gzip.compress(b"\x00" * (1 << 20))  # 1 MiB inflated, ~1 KiB wire
+    with pytest.raises(ValueError, match="exceeds size cap"):
+        list(W._iter_members(bomb, max_member_bytes=1 << 16))
+    # under the cap the same member streams fine
+    assert len(list(W._iter_members(bomb))) == 1
+
+
 def test_incremental_extraction_cli(spark, tmp_path):
     """--diff-against: the extract job skips unchanged urls and reports the
     diff histogram. Driven through the real CLI in a subprocess (jobs.main
