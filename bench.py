@@ -276,28 +276,45 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_plus_extraction",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "queries_cold": times_cold,
-                "sf": sf,
-                "pages_per_sec": pages_per_sec,
-                "html_mb_per_sec": mb_per_sec,
-                "extract_pages_n": n_pages,
-                "steal": {
-                    "gate": STEAL_GATE,
-                    "preflight_frac": preflight_frac,
-                    "preflight_waited_sec": waited,
-                    "all_clean": all(p["clean"] for p in prov.values()),
-                    "per_query": prov,
-                },
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_plus_extraction",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "queries_cold": times_cold,
+        "sf": sf,
+        "pages_per_sec": pages_per_sec,
+        "html_mb_per_sec": mb_per_sec,
+        "extract_pages_n": n_pages,
+        "steal": {
+            "gate": STEAL_GATE,
+            "preflight_frac": preflight_frac,
+            "preflight_waited_sec": waited,
+            "all_clean": all(p["clean"] for p in prov.values()),
+            "per_query": prov,
+        },
+    }
+    # Full provenance (per-query steal fractions, cold times, retry counts)
+    # goes to the artifact FILE; stdout carries a compact headline line. The
+    # driver captures only the last ~2000 chars of stdout — round 5's full
+    # object (~8KB) overflowed that and BENCH_r05.json landed with
+    # parsed: null, so the headline metrics were machine-unreadable.
+    art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(art_dir, exist_ok=True)
+    with open(os.path.join(art_dir, "bench_full_local.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    compact = {k: full[k] for k in (
+        "metric", "value", "unit", "queries", "sf",
+        "pages_per_sec", "html_mb_per_sec", "extract_pages_n",
+    )}
+    compact["all_clean"] = full["steal"]["all_clean"]
+    line = json.dumps(compact)
+    if len(line) > 1900:  # keep headroom under the driver's tail capture
+        slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:25])
+        compact["queries"] = slowest
+        compact["queries_truncated"] = len(times) - len(slowest)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -10,10 +10,11 @@ Scale shape (the part that matters at 100 TB): the corpus is filtered to
 QUERY-TERM postings *before* any aggregation — the only rows that ever
 shuffle are (doc, term) hits for the handful of query terms, never the
 full token stream. Document frequencies collapse to ≤|terms| rows and
-broadcast back; corpus-level stats (N, Σdl) are a one-row aggregate
-cross-joined in-plan (BroadcastNestedLoopJoin over a single row, not a
-driver collect). The final top-k is a global TakeOrderedAndProject — no
-single-partition sort.
+broadcast back; the doc-length side is semi-joined down to hit docs before
+it ever joins (no full-corpus (doc_id, dl) shuffle); corpus-level stats
+(N, Σdl) are a one-row aggregate cross-joined in-plan
+(BroadcastNestedLoopJoin over a single row, not a driver collect). The
+final top-k is a global TakeOrderedAndProject — no single-partition sort.
 
 Cross-engine determinism (the oracle gate): BM25 needs real division, so
 this operator confines ALL floating point to per-(doc,term) scalar
@@ -81,9 +82,17 @@ def bm25_topk(
     )
     dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
 
+    # restrict the doc-length side to HIT docs before the equi-join: the
+    # full-corpus (doc_id, dl) projection is 10^12 rows, the hit set is
+    # bounded by the query terms' postings. A left-semi against the filtered
+    # postings lets AQE broadcast the hit-id set and filter lengths map-side
+    # — no full-corpus shuffle just to serve a handful of scored docs. (No
+    # forced broadcast hint: a stopword query's hit set can be huge; AQE
+    # downgrades to a shuffled semi-join then, which is the correct fallback.)
+    hit_lengths = lengths.join(hits.select("doc_id"), "doc_id", "left_semi")
     scored = (
         hits.join(F.broadcast(dfreq), "term")
-        .join(lengths, "doc_id")
+        .join(hit_lengths, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
     # identical parenthesization to the SQL twin — every double op below

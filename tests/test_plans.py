@@ -61,6 +61,18 @@ def test_semi_join_stays_semi(spark):
     assert "LeftSemi" in _physical(df)
 
 
+def test_bm25_lengths_side_is_semi_joined(spark):
+    """The BM25 doc-length branch must be restricted to hit docs via a
+    left-semi on the filtered postings BEFORE the scoring join — otherwise
+    the full-corpus (doc_id, dl) projection shuffles to serve a handful of
+    hits (round-5 watch item)."""
+    from ocr_machine_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = bm25_topk(docs, ["the", "data"], k=5)
+    assert "LeftSemi" in _physical(df)
+
+
 def test_partial_aggregation_before_shuffle(spark):
     """groupBy must do map-side partial aggregation (HashAggregate appears
     both below and above the exchange)."""
