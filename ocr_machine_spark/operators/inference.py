@@ -39,6 +39,7 @@ def predict_linear(
     key: str = "vec_id",
     vec: str = "embedding",
     seed: int = 7,
+    weights: tuple[np.ndarray, float] | None = None,
 ) -> DataFrame:
     """Per-row inference: logit = w·v + b (fixed-point) and pred = logit > 0.
 
@@ -47,8 +48,19 @@ def predict_linear(
     FMA accumulation can differ from the DuckDB twin's list_dot_product in
     the last ulps, flipping fixed_point/pred for logits ulps from a rounding
     boundary, and varies across BLAS builds. Null / wrong-length embeddings
-    score NULL (never-raise per-row convention, like extract_pages)."""
-    w, b = linear_weights(dim, seed)
+    score NULL (never-raise per-row convention, like extract_pages).
+
+    ``weights``: an explicit (w, b) checkpoint — pass
+    ``operators.training.train_linear(...).best_weights`` to apply a
+    TRAINED model (the reference's load-checkpoint-then-batch-score flow,
+    model_inference_test.py:59-127); when None, the seed-derived stand-in
+    checkpoint is used."""
+    if weights is not None:
+        w, b = np.asarray(weights[0], dtype=np.float64), float(weights[1])
+        if w.shape != (dim,):
+            raise ValueError(f"weights dim {w.shape} != ({dim},)")
+    else:
+        w, b = linear_weights(dim, seed)
 
     @pandas_udf("double")
     def logit(v: pd.Series) -> pd.Series:

@@ -1,0 +1,237 @@
+"""Distributed trained classifier — the train → validate → select-best →
+batch-infer lifecycle (EP3), Spark-shaped.
+
+The reference's third lifecycle trains a strikethrough classifier with a
+per-epoch train/val loop and keeps the best checkpoint
+(``training_strikethrough/training_inference_scripts/model_training_pipeline.py:136-157``
+model, ``:158-274`` train/val/test loop with per-epoch metric folds and
+best-checkpoint selection), then applies it in batch
+(``model_inference_test.py:59-127``). This module is the distributed,
+engine-deterministic form of that loop: batch gradient descent on a linear
+model (squared loss — the classifier reads its margin against 0.5), trained
+over a DataFrame with the ``ivf_train`` execution pattern:
+
+* **one scan per epoch**: executors compute the epoch's sufficient
+  statistics (per-dimension gradient sums, train/val loss folds, val
+  accuracy) in a single Arrow-batched ``mapInPandas`` pass, pre-reduced to
+  ≤ dim+4 rows per batch in numpy int64 (the map-side combine);
+* **O(dim) driver traffic per epoch**: the only data that ever reaches the
+  driver is dim+1 gradient longs plus four metric longs — the model update
+  ``w ← w − lr·(g/(scale·n))`` is one well-defined float op per dimension;
+* **exact fixed-point statistics**: every per-row float collapses to a
+  floored e6 (gradients) / e4 (losses) BIGINT before any sum, so the
+  distributed aggregation is EXACT and order/partitioning-independent —
+  the same result on any cluster size, and bit-identical to the DuckDB
+  twin that unrolls the same epochs as chained CTEs (the ``host_pagerank``
+  twin pattern);
+* **determinism of the float core**: margins use the sequential-order dot
+  (numpy cumsum ≡ plain-loop accumulation ≡ DuckDB ``list_dot_product``,
+  the engine's IEEE-parity convention); the learning rate is a
+  parse-identical decimal literal; weight recovery divides exact integers
+  (< 2^53) — all correctly-rounded IEEE ops on identical inputs.
+
+Splits are hash-assigned (md5 of the id — the engine's seeded 70/15/15
+convention, ``model_training_pipeline.py:87-134`` analogue) so train/val
+membership is reproducible across engines, runs and partitionings.
+
+Scale shape: at 10^12 rows the cost is epochs × (scan + O(dim·partitions)
+shuffle rows) — there is no per-row Python (Arrow batches only), no global
+sort, no all-pairs stage, and the model state never exceeds dim+1 floats.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+GRAD_SCALE = 1_000_000  # e6 fixed-point for gradient contributions
+LOSS_SCALE = 10_000  # e4 fixed-point for loss folds
+THRESHOLD = 0.5  # classifier decision boundary (model_inference_test.py:100)
+
+
+def md5_split(key: Column) -> Column:
+    """Deterministic 10/2/4-sixteenths train/val/test assignment from the
+    first hex char of md5(id) — the same recipe as the gated
+    ``dataset_split_assign`` (hash-based, not RNG: reproducible across
+    engines, runs and partitionings)."""
+    c = F.substring(F.md5(key.cast("string")), 1, 1)
+    return (
+        F.when(c.between("0", "9"), "train")
+        .when(c.isin("a", "b"), "val")
+        .otherwise("test")
+    )
+
+
+@dataclass
+class TrainedLinear:
+    """Training result: per-epoch checkpoints + the relation the gate reads.
+
+    ``metrics`` is a real DataFrame (built from the per-epoch checkpointed
+    statistics relations, not from driver lists): one row per epoch 0..E
+    (epoch k = model after k gradient steps; epoch 0 = zero init) with
+    exact-BIGINT loss folds and an ``is_best`` flag (min val_sse_e4, epoch
+    tiebreak — the best-checkpoint selection)."""
+
+    metrics: DataFrame
+    weights: list[tuple[np.ndarray, float]] = field(repr=False)
+    best_epoch: int
+
+    @property
+    def best_weights(self) -> tuple[np.ndarray, float]:
+        return self.weights[self.best_epoch]
+
+
+def _epoch_stats(base: DataFrame, w: np.ndarray, b: float, dim: int) -> DataFrame:
+    """One epoch's sufficient statistics over (x, y, split) rows:
+
+    kind 'g' (pos 0..dim-1): Σ floor((m−y)·x[pos]·1e6 + 0.5) over train
+    kind 'gb': the bias gradient sum; 'mt'/'mv': train/val SSE e4 folds;
+    'ma': val correct-prediction count. ``n`` carries the row counts.
+    Everything is pre-reduced inside each Arrow batch (numpy int64), so the
+    shuffle moves ≤ dim+4 rows per batch."""
+    wv = np.asarray(w, dtype=np.float64)
+    bb = float(b)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf["x"].to_numpy()).astype(np.float64)
+            yv = pdf["y"].to_numpy().astype(np.float64)
+            # sequential-order dot (cumsum): bit-identical to the twin's
+            # list_dot_product; a BLAS matvec's FMA order would drift
+            m = np.cumsum(mat * wv[None, :], axis=1)[:, -1] + bb
+            r = m - yv
+            sp = pdf["split"].to_numpy()
+            tr, va = sp == "train", sp == "val"
+            kinds: list[str] = []
+            poss: list[int] = []
+            avals: list[int] = []
+            nvals: list[int] = []
+            if tr.any():
+                nt = int(tr.sum())
+                # (r·x)·1e6 left-associated — parenthesization pinned to
+                # the twin's (m - y) * x[i] * 1000000.0
+                g = (
+                    np.floor(r[tr, None] * mat[tr] * 1000000.0 + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+                kinds += ["g"] * dim
+                poss += list(range(dim))
+                avals += [int(v) for v in g]
+                nvals += [nt] * dim
+                gb = int(np.floor(r[tr] * 1000000.0 + 0.5).astype(np.int64).sum())
+                ts = int(np.floor(r[tr] * r[tr] * 10000.0 + 0.5).astype(np.int64).sum())
+                kinds += ["gb", "mt"]
+                poss += [-1, -1]
+                avals += [gb, ts]
+                nvals += [nt, nt]
+            if va.any():
+                nv = int(va.sum())
+                vs = int(np.floor(r[va] * r[va] * 10000.0 + 0.5).astype(np.int64).sum())
+                vc = int(((m[va] > THRESHOLD) == (yv[va] > THRESHOLD)).sum())
+                kinds += ["mv", "ma"]
+                poss += [-1, -1]
+                avals += [vs, vc]
+                nvals += [nv, nv]
+            yield pd.DataFrame({"kind": kinds, "pos": poss, "a": avals, "n": nvals})
+
+    return (
+        base.mapInPandas(run, "kind string, pos long, a long, n long")
+        .groupBy("kind", "pos")
+        .agg(F.sum("a").alias("a"), F.sum("n").alias("n"))
+    )
+
+
+def train_linear(
+    emb: DataFrame,
+    *,
+    dim: int,
+    epochs: int = 4,
+    lr: str = "0.25",
+    key: str = "vec_id",
+    vec: str = "embedding",
+    label: str = "label",
+) -> TrainedLinear:
+    """Train a linear classifier (margin vs 0.5) with batch gradient descent
+    on the hash-assigned train split, fold val metrics every epoch, and
+    select the best checkpoint (min val SSE, epoch tiebreak).
+
+    ``lr`` is a decimal STRING (parse-identical across engines — never derive
+    it by float arithmetic, the BM25 convention). The binary target is
+    ``label % 2`` — the deterministic stand-in for the reference's
+    strikethrough y/n label. Returns per-epoch metrics as an exact-BIGINT
+    relation plus the epoch checkpoints; feed ``best_weights`` into
+    ``operators.inference.predict_linear(weights=...)`` for batch apply.
+    """
+    if epochs < 1:
+        raise ValueError("train_linear needs epochs >= 1")
+    lrf = float(lr)
+    base = (
+        emb.filter(F.col(vec).isNotNull() & (F.size(vec) == dim))
+        .select(
+            F.col(vec).cast("array<double>").alias("x"),
+            (F.col(label) % 2).cast("double").alias("y"),
+            md5_split(F.col(key)).alias("split"),
+        )
+        .filter(F.col("split").isin("train", "val"))
+    )
+
+    w = np.zeros(dim, dtype=np.float64)
+    b = 0.0
+    weights: list[tuple[np.ndarray, float]] = [(w.copy(), b)]
+    met_dfs: list[DataFrame] = []
+    history: list[tuple[int, int]] = []  # (val_sse_e4, epoch)
+    for t in range(epochs + 1):
+        # checkpoint each pass ONCE (the ivf_train pattern): the collect
+        # below and the returned metrics relation both read the checkpoint
+        # instead of re-running the full scan
+        st = _epoch_stats(base, w, b, dim).localCheckpoint(eager=True)
+        met_dfs.append(
+            st.groupBy().agg(
+                F.max(F.when(F.col("kind") == "mt", F.col("a"))).alias("train_sse_e4"),
+                F.max(F.when(F.col("kind") == "mv", F.col("a"))).alias("val_sse_e4"),
+                F.max(F.when(F.col("kind") == "ma", F.col("a"))).alias("val_correct"),
+                F.max(F.when(F.col("kind") == "ma", F.col("n"))).alias("n_val"),
+            ).select(
+                F.lit(t).cast("long").alias("epoch"),
+                "train_sse_e4", "val_sse_e4", "val_correct", "n_val",
+            )
+        )
+        rows = {(r["kind"], r["pos"]): (r["a"], r["n"]) for r in st.collect()}
+        history.append((int(rows[("mv", -1)][0]), t))
+        if t == epochs:
+            break
+        n_train = int(rows[("gb", -1)][1])
+        g = np.array([rows[("g", j)][0] for j in range(dim)], dtype=np.int64)
+        gb = int(rows[("gb", -1)][0])
+        # exact-int / exact-int division: correctly-rounded doubles, the
+        # same values the twin gets from CAST(g AS DOUBLE)/CAST(d AS DOUBLE)
+        w = w - lrf * (g / (GRAD_SCALE * n_train))
+        b = b - lrf * (gb / (GRAD_SCALE * n_train))
+        weights.append((w.copy(), b))
+
+    mdf = met_dfs[0]
+    for d in met_dfs[1:]:
+        mdf = mdf.unionAll(d)
+    # best-checkpoint flag WITHOUT a global window (no SinglePartition
+    # window repo-wide): a one-row min-struct aggregate broadcast back —
+    # the scalar-stat attach shape (see doc_bm25_topk's corpus stats)
+    best = mdf.groupBy().agg(
+        F.min(F.struct(F.col("val_sse_e4"), F.col("epoch"))).alias("bb")
+    )
+    metrics = (
+        mdf.crossJoin(F.broadcast(best))
+        .withColumn(
+            "is_best", F.struct(F.col("val_sse_e4"), F.col("epoch")) == F.col("bb")
+        )
+        .drop("bb")
+    )
+    return TrainedLinear(
+        metrics=metrics, weights=weights, best_epoch=min(history)[1]
+    )

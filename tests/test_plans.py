@@ -147,7 +147,12 @@ def test_no_cross_join_in_any_query(spark):
     # - doc_bm25_topk: corpus stats (N, Σdl) are a ONE-ROW global aggregate
     #   cross-joined onto the query-term hits — a scalar broadcast, not a
     #   data-sized side
-    TINY_SIDE_OK = {"ann_cosine_topk", "blocks_integrity", "doc_bm25_topk"}
+    # - model_train_eval: the best-checkpoint flag attaches a ONE-ROW
+    #   min-struct aggregate onto the epochs+1-row metrics relation — the
+    #   same scalar-stat-attach shape as bm25's corpus stats
+    TINY_SIDE_OK = {
+        "ann_cosine_topk", "blocks_integrity", "doc_bm25_topk", "model_train_eval",
+    }
 
     for name, fn in E.queries().items():
         if name == "streaming_host_totals":
