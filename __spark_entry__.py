@@ -485,6 +485,29 @@ def _doc_line_dedup(spark, sf_dir):
     return T.line_dedup(docs.select("doc_id", injected.alias("text")))
 
 
+SPAN_DEDUP_L = 8
+SPAN_BOILER = "the quick brown fox jumps over the lazy dog again and again"
+
+
+def _doc_span_dedup(spark, sf_dir):
+    """Exact substring dedup (Lee et al. 2022 ExactSubstr, word-granular
+    relational form — operators.textstats.span_dedup): duplicated runs of
+    ≥8 words keep only their first corpus occurrence. Duplicated runs are
+    injected IN-QUERY identically on both engines (the doc_repetition_stats
+    pattern): a 12-word boilerplate sentence appended to 2/3 of docs
+    (cross-doc hot run — ~n·2/3 occurrences of each covering 8-gram) and
+    appended TWICE on doc_id%5==0 (a second, overlap-merging site). The
+    hash certifies witness counting, first-site keeper choice, overlap
+    merge, and the byte-exact reassembled text per document."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 3 != 2, F.lit(" " + SPAN_BOILER)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" " + SPAN_BOILER)).otherwise(F.lit("")),
+    )
+    return T.span_dedup(docs.select("doc_id", raw.alias("text")), min_len=SPAN_DEDUP_L)
+
+
 def _doc_domain_stats(spark, sf_dir):
     """Domain-level spam gate (operators.urls.domain_stats) over
     deterministically synthesized crawl URLs: 30% of docs land on one
@@ -1821,7 +1844,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_docs": _streaming_dedup_docs,
         "doc_decontaminate": _doc_decontaminate,
         "doc_rarity_stats": _doc_rarity_stats,
-        "doc_passage_overlap": _doc_passage_overlap,
+        # round-6: exact substring dedup (Lee et al. 2022) — the last dedup
+        # tier — enters the window; doc_passage_overlap moves below (its
+        # winnow-span-match capability is the detection half of span_dedup's
+        # match-then-excise, and the fingerprint stage keeps
+        # doc_winnow_fingerprints parity + the MOSS pairing stays pytest'd)
+        "doc_span_dedup": _doc_span_dedup,
         # -- core relational contract (TPC-H-shaped + ops surface) --
         # round-5 rotation #2: the late curation operators plus the two new
         # link-graph operators enter the gate window; six relational-breadth
@@ -1867,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate_bloom": _doc_decontaminate_bloom,
         "streaming_host_totals": _streaming_host_totals,
         "q5_region_revenue": _q5_region_revenue,
+        "doc_passage_overlap": _doc_passage_overlap,
         "filter_pushdown_scan": _filter_pushdown_scan,
         "semi_join_customers": _semi_join_customers,
         "broadcast_brand_agg": _broadcast_brand_agg,
@@ -2413,6 +2442,42 @@ j AS (
 SELECT doc_id, count(*) AS n_lines,
        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE kept), '') AS text_dedup
+FROM j GROUP BY doc_id
+""",
+        "doc_span_dedup": f"""
+WITH inj AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 3 <> 2 THEN ' {SPAN_BOILER}' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' {SPAN_BOILER}' ELSE '' END AS rawtext
+  FROM documents
+),
+t AS (SELECT doc_id, {_norm('rawtext')} AS tx FROM inj),
+w AS (SELECT doc_id, string_split(tx, ' ') AS ws FROM t WHERE tx <> ''),
+words AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS wpos, ws[CAST(i AS INTEGER)] AS word
+  FROM w, unnest(range(1, len(ws) + 1)) u(i)
+),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+         md5(array_to_string(ws[CAST(i AS INTEGER):CAST(i + {SPAN_DEDUP_L} - 1 AS INTEGER)], ' ')) AS gh,
+         doc_id * {T.LINE_POS_MOD} + (i - 1) AS okey
+  FROM w, unnest(range(1, len(ws) - {SPAN_DEDUP_L} + 2)) u(i)
+  WHERE len(ws) >= {SPAN_DEDUP_L}
+),
+agg AS (SELECT gh, count(*) AS cnt, min(okey) AS keep_key FROM grams GROUP BY gh),
+rm AS (
+  SELECT DISTINCT g.doc_id, CAST(g.p + jj AS BIGINT) AS wpos
+  FROM grams g JOIN agg USING (gh), unnest(range(0, {SPAN_DEDUP_L})) v(jj)
+  WHERE agg.cnt > 1 AND g.okey <> agg.keep_key
+),
+j AS (
+  SELECT words.doc_id, words.wpos, words.word, rm.wpos IS NOT NULL AS dup
+  FROM words LEFT JOIN rm USING (doc_id, wpos)
+)
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(CASE WHEN NOT dup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(word, ' ' ORDER BY wpos) FILTER (WHERE NOT dup), '') AS text_dedup
 FROM j GROUP BY doc_id
 """,
         "doc_domain_stats": f"""

@@ -703,6 +703,96 @@ def line_dedup(docs: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def span_dedup(docs: DataFrame, min_len: int = 8, text: str = "text") -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — ExactSubstr): corpus-wide
+    removal of duplicated runs of ≥ ``min_len`` consecutive words, keeping
+    exactly the FIRST corpus occurrence of each duplicated run. The paper
+    builds a suffix array; this is the relational re-expression at word
+    granularity: every ``min_len``-gram occurring at more than one
+    (doc, position) corpus-wide is a duplicate witness, every non-first
+    witness excises its ``min_len`` word positions, overlapping excisions
+    merge by position-set union, and each document's surviving words
+    reassemble in original order. The ≥-guarantee matches the paper's: a
+    duplicated run of length R ≥ min_len is covered by R−min_len+1
+    duplicated grams, so the whole run (not just one gram) is excised at
+    every non-first site.
+
+    Tokenization is the engine's norm_text whitespace convention (the
+    winnowing/Jaccard convention — spans are word-aligned, not byte-aligned;
+    a byte-exact variant would key on char offsets the same way). First
+    occurrence = minimum packed key doc_id·2^20 + pos (line_dedup's packing,
+    same < 2^43 docs / < 2^20 words bounds). Documents whose normalized
+    text is empty produce no row; a document fully covered by later-site
+    duplicates keeps n_kept = 0 and text_dedup = ''.
+
+    Returns (doc_id, n_words, n_kept, text_dedup).
+
+    Scale shape (the line_dedup pattern, one level down): grams key on
+    md5(gram) — the partial agg's map-side combine collapses a
+    million-copy boilerplate gram to one candidate per upstream partition
+    BEFORE the shuffle; the join back ships gram rows (corpus word count,
+    ~min_len× smaller than the paper's suffix-array traffic since only
+    gram STARTS travel); position explosion is bounded by doc length via
+    the distinct. Three shuffles (gram hash, position distinct, doc
+    reassembly). The gram array is materialized as its own projection
+    before the HOF transform (the winnow_fingerprints O(words²) lesson).
+
+    Reference twin: the reference removes repeated strikethrough regions
+    once detected (white_out_manager.py:27-34 span excision); this is the
+    corpus-scale text form of remove-span-keep-rest.
+    """
+    tx = norm_text(F.coalesce(F.col(text), F.lit("")))
+    base = docs.select("doc_id", tx.alias("tx")).filter(F.col("tx") != "")
+    w = base.select("doc_id", F.split("tx", " ").alias("ws"))
+    words = w.select(
+        "doc_id", F.posexplode("ws").alias("wpos", "word")
+    )
+    n = F.size("ws")
+    gram_arr = F.when(
+        n >= min_len,
+        F.transform(
+            F.sequence(F.lit(1), n - (min_len - 1)),
+            lambda i: F.md5(F.array_join(F.slice(F.col("ws"), i, min_len), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = w.select("doc_id", F.posexplode(gram_arr).alias("p", "gh")).select(
+        "doc_id",
+        "p",
+        "gh",
+        (F.col("doc_id") * F.lit(LINE_POS_MOD) + F.col("p")).alias("okey"),
+    )
+    agg = grams.groupBy("gh").agg(
+        F.count("*").alias("cnt"), F.min("okey").alias("keep_key")
+    )
+    flagged = grams.join(agg, "gh").filter(
+        (F.col("cnt") > 1) & (F.col("okey") != F.col("keep_key"))
+    )
+    rm = (
+        flagged.select(
+            "doc_id", F.explode(F.sequence("p", F.col("p") + (min_len - 1))).alias("wpos")
+        )
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    j = words.join(rm, ["doc_id", "wpos"], "left")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.col("dup").isNull().cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("dup").isNull(), F.struct("wpos", "word"))
+                    )
+                ),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+
+
 def pack_plan(docs: DataFrame, budget: int = 2048, part_col: str = "source") -> DataFrame:
     """Training-sequence packing plan — GPT-style "concatenate and chop"
     (Brown et al. 2020 §2.3: documents are concatenated in order and split

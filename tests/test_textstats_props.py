@@ -453,3 +453,46 @@ def test_bm25_topk_hand_computed(spark):
     assert [(r["doc_id"], (r["score_e4"], r["n_terms_hit"])) for r in out] == expected
     # doc 2 (pure tf) saturates: more apples ≠ linear score growth
     assert exp[2][0] < 2 * exp[1][0]
+
+
+def test_span_dedup_hand_computed(spark):
+    """Exact substring dedup (Lee et al. 2022, word-granular): cross-doc
+    first-occurrence keeper, overlap-merged excision, within-doc repeats,
+    short-doc passthrough, empty-doc absence — all hand-checkable."""
+    from ocr_machine_spark.operators.textstats import span_dedup
+
+    run = "a b c d e f g h"  # exactly min_len=8 words
+    rows = [
+        (0, f"{run} tail0"),                    # first corpus occurrence: kept
+        (1, f"x {run} tail1"),                  # later occurrence: excised
+        (2, f"{run} i"),                        # later occurrence at pos 0
+        (3, "p q r s t u v w p q r s t u v w"),  # within-doc repeat
+        (4, "hello world"),                     # < min_len words: untouched
+        (5, ""),                                # empty: no output row
+        (6, None),                              # null: no output row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_dedup(docs, min_len=8).collect()}
+
+    assert sorted(got) == [0, 1, 2, 3, 4]
+    assert got[0]["text_dedup"] == f"{run} tail0" and got[0]["n_kept"] == 9
+    assert got[1]["text_dedup"] == "x tail1" and got[1]["n_kept"] == 2
+    assert got[2]["text_dedup"] == "i" and got[2]["n_words"] == 9
+    assert got[3]["text_dedup"] == "p q r s t u v w" and got[3]["n_words"] == 16
+    assert got[4]["text_dedup"] == "hello world" and got[4]["n_kept"] == 2
+
+
+def test_span_dedup_long_run_fully_excised(spark):
+    """The paper's coverage guarantee: a duplicated run LONGER than min_len
+    is covered by its sliding grams, so the whole run is excised at the
+    non-first site — not just one gram's worth."""
+    from ocr_machine_spark.operators.textstats import span_dedup
+
+    run = " ".join(chr(ord("a") + i) for i in range(12))  # 12-word run
+    docs = spark.createDataFrame(
+        [(0, f"{run} end0"), (1, f"pre {run} end1")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text_dedup"] for r in span_dedup(docs, min_len=8).collect()}
+    assert got[0] == f"{run} end0"
+    assert got[1] == "pre end1"
