@@ -535,12 +535,28 @@ def _doc_domain_stats(spark, sf_dir):
     )
 
 
+def _doc_bpe_tokens(spark, sf_dir):
+    """Byte-level BPE tokenization (operators.textstats.bpe_tokens) over the
+    committed 24-merge table trained by construction from the fixture
+    corpus. The gate hashes the FULL delimited token stream per document —
+    every token boundary the merge loop produces — plus word/subword
+    counts; the DuckDB twin replays the identical rank-ordered replace
+    chain, so a hash match certifies the tokenizer end to end."""
+    return T.bpe_tokens(_t(spark, sf_dir, "documents"))
+
+
 def _doc_pack_plan(spark, sf_dir):
-    """Concat-and-chop training-sequence packing at budget 64: fixture docs
-    run ~30 tokens, so most bins hold 2-3 documents and bin-straddling docs
-    are common — the hash certifies the per-shard prefix sums, token
+    """Concat-and-chop training-sequence packing at budget 64, binned on
+    REAL subword tokens (bpe_token_count over the committed merge table —
+    what a training loader actually packs on, VERDICT r5 #5): fixture docs
+    run ~25 BPE tokens, so most bins hold 2-3 documents and bin-straddling
+    docs are common — the hash certifies the per-shard prefix sums, token
     offsets and both bin ids (exact BIGINT arithmetic end to end)."""
-    return T.pack_plan(_t(spark, sf_dir, "documents"), budget=64)
+    return T.pack_plan(
+        _t(spark, sf_dir, "documents"),
+        budget=64,
+        counter=T.bpe_token_count(F.col("text")),
+    )
 
 
 def _host_pagerank(spark, sf_dir):
@@ -1774,7 +1790,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_profile": _page_profile,
         "corpus_curation_stats": _corpus_curation_stats,
         # -- LLM training-data pipeline operators --
-        "doc_token_stats": _doc_token_stats,
+        # round-6: the real byte-level BPE tokenizer (committed merge table,
+        # chained-replace JVM application) replaces doc_token_stats in the
+        # window — the whitespace/BPE-ish-regex counts it gated are the
+        # degenerate case of this gate (n_words rides along), and
+        # doc_token_stats stays parity-gated below
+        "doc_bpe_tokens": _doc_bpe_tokens,
         "doc_quality": _doc_quality,
         "doc_lang_guess": _doc_lang_guess,
         "dedup_exact_docs": _dedup_exact_docs,
@@ -1896,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_host_totals": _streaming_host_totals,
         "q5_region_revenue": _q5_region_revenue,
         "doc_passage_overlap": _doc_passage_overlap,
+        "doc_token_stats": _doc_token_stats,
         "filter_pushdown_scan": _filter_pushdown_scan,
         "semi_join_customers": _semi_join_customers,
         "broadcast_brand_agg": _broadcast_brand_agg,
@@ -1953,6 +1975,19 @@ def _sql_toks(t: str) -> str:
     (string_split('') yields [''], a phantom token; twin of the guarded
     functions.token_count)."""
     return f"CASE WHEN {t} = '' THEN 0 ELSE len(string_split({t}, ' ')) END"
+
+
+def _bpe_delim_sql(tx_expr: str) -> str:
+    """BPE-delimited-stream SQL expr over a normalized-text expr — the twin
+    of operators.textstats.bpe_token_col: strip stray U+0001, delimit every
+    non-space char with one trailing chr(1) (RE2 capture-group replacement;
+    no lookarounds), then apply the committed merge table as the identical
+    rank-ordered chain of literal replace() calls."""
+    s = f"regexp_replace(replace({tx_expr}, chr(1), ''), '([^ ])', '\\1' || chr(1), 'g')"
+    for a, b in T.BPE_MERGES:
+        qa, qb = a.replace("'", "''"), b.replace("'", "''")
+        s = f"replace({s}, '{qa}' || chr(1) || '{qb}', '{qa}{qb}')"
+    return s
 
 
 def _repetition_sql(src: str) -> str:
@@ -2510,11 +2545,22 @@ SELECT host, n_docs, n_distinct_text,
     OR host = 'h3.example.org') AS spam
 FROM g
 """,
+        "doc_bpe_tokens": f"""
+WITH b AS (SELECT doc_id, {_norm("coalesce(text, '')")} AS tx FROM documents),
+s AS (SELECT doc_id, tx, {_bpe_delim_sql('tx')} AS s FROM b)
+SELECT doc_id,
+       CAST({_sql_toks('tx')} AS BIGINT) AS n_words,
+       CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT) AS n_bpe_tokens,
+       s AS bpe_text
+FROM s
+""",
         "doc_pack_plan": f"""
 WITH d AS (
   SELECT doc_id, source AS part,
-         {_sql_toks(_norm("coalesce(text, '')"))} AS n_tokens
-  FROM documents
+         CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, source,
+               {_bpe_delim_sql(_norm("coalesce(text, '')"))} AS s
+        FROM documents)
 ),
 c AS (
   SELECT doc_id, part, n_tokens,

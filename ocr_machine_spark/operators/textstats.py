@@ -793,7 +793,136 @@ def span_dedup(docs: DataFrame, min_len: int = 8, text: str = "text") -> DataFra
     )
 
 
-def pack_plan(docs: DataFrame, budget: int = 2048, part_col: str = "source") -> DataFrame:
+# ---------------------------------------------------------------------------
+# Byte-level BPE tokenizer (Sennrich et al. 2016; GPT-2's byte-level form)
+# ---------------------------------------------------------------------------
+
+# Committed merge table, trained by construction from the sf0.001 documents
+# corpus with train_bpe_merges(n_merges=24) — the tokenizer's "vocab file"
+# (tests pin committed == retrained). The fixture corpus is pure ASCII, so
+# characters ≡ UTF-8 bytes and the char-granular alphabet IS byte-level.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"),
+    ("s", "can"), ("c", "o"), ("co", "lu"), ("colu", "m"), ("colum", "n"),
+    ("d", "ow"), ("in", "dow"), ("w", "indow"), ("d", "er"), ("or", "der"),
+    ("or", "t"), ("s", "ort"),
+]
+
+# token separator inside a word: U+0001 never occurs in normalized corpus
+# text (bpe_tokens strips any stray occurrence before delimiting)
+BPE_SEP = "\x01"
+
+
+def train_bpe_merges(texts, n_merges: int = 24) -> list[tuple[str, str]]:
+    """Standard BPE training (Sennrich et al. 2016 §3.2) over norm_text-
+    normalized, whitespace-pretokenized words: repeatedly merge the most
+    frequent adjacent token pair (ties → lexicographically smallest pair, so
+    the table is deterministic for a given corpus). Driver-side by design —
+    this derives the committed BPE_MERGES constant from the fixture corpus,
+    the way a production pipeline ships a trained vocab file; the DISTRIBUTED
+    form would fold pair counts with one groupBy per merge (the ivf_train
+    shape) but a 24-entry table does not need a cluster."""
+    import re
+    from collections import Counter
+
+    words: Counter = Counter()
+    for t in texts:
+        n = re.sub(r"\s+", " ", (t or "").lower()).strip()
+        if n:
+            words.update(tuple(w) for w in n.split(" "))
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for toks, c in words.items():
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new: Counter = Counter()
+        for toks, c in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == best[0] and toks[i + 1] == best[1]:
+                    out.append(toks[i] + toks[i + 1])
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new[tuple(out)] += c
+        words = new
+    return merges
+
+
+def bpe_token_col(text_col, merges: list[tuple[str, str]] | None = None):
+    """Normalized text column → BPE-delimited column: every token is
+    followed by one BPE_SEP, words separated by spaces ('scan ab' →
+    'scan␁ a␁b␁' under BPE_MERGES). Token count = number of separators.
+
+    The merge loop compiles to a chain of literal ``replace()`` expressions
+    — pure JVM, whole-stage-codegen, zero Python. This is exactly GPT-2's
+    algorithm: applying merges in ascending rank order with leftmost
+    non-overlapping continue-after-replacement scans is equivalent to the
+    repeat-min-rank-pair loop, because (a) a pair involving a merge's
+    output token always has a HIGHER rank than the merge that created the
+    token (training counted it only after the token existed), and (b)
+    replacing a␁b with ab can never create a new a␁b occurrence (the
+    output token differs from both inputs). Property-tested against the
+    reference min-rank encoder in tests/test_bpe.py.
+    """
+    if merges is None:
+        merges = BPE_MERGES
+    # strip stray separators, then delimit: every non-space char gets one
+    # trailing SEP (capture-group replacement — RE2 and Java agree; no
+    # lookarounds, which RE2 lacks)
+    s = F.regexp_replace(
+        F.replace(text_col, F.lit(BPE_SEP), F.lit("")),
+        "([^ ])",
+        "$1" + BPE_SEP,
+    )
+    for a, b in merges:
+        s = F.replace(s, F.lit(a + BPE_SEP + b), F.lit(a + b))
+    return s
+
+
+def bpe_tokens(docs: DataFrame, merges: list[tuple[str, str]] | None = None,
+               text: str = "text") -> DataFrame:
+    """Per-document byte-level BPE tokenization over the committed merge
+    table → (doc_id, n_words, n_bpe_tokens, bpe_text). ``bpe_text`` is the
+    full delimited token stream (U+0001 after each token), so a value gate
+    certifies every token boundary, not just counts; ``n_bpe_tokens`` is
+    the separator count (each token carries exactly one).
+
+    This supplies the REAL subword ids/counts that sequence packing needs —
+    feed ``bpe_token_count(...)`` into ``pack_plan(counter=...)``. Scale
+    shape: per-row JVM string expressions only, no shuffle; cost is
+    O(len · merges) per row with codegen'd literal scans."""
+    tx = norm_text(F.coalesce(F.col(text), F.lit("")))
+    s = bpe_token_col(tx, merges)
+    n_bpe = (F.length(s) - F.length(F.replace(s, F.lit(BPE_SEP), F.lit("")))).cast("long")
+    return docs.select(
+        "doc_id",
+        token_count(tx).alias("n_words"),
+        n_bpe.alias("n_bpe_tokens"),
+        s.alias("bpe_text"),
+    )
+
+
+def bpe_token_count(text_col, merges: list[tuple[str, str]] | None = None):
+    """BPE token count of a raw text column — the counter expression for
+    pack_plan(counter=...): packing bins then measure REAL subword tokens,
+    not whitespace words."""
+    tx = norm_text(F.coalesce(text_col, F.lit("")))
+    s = bpe_token_col(tx, merges)
+    return (F.length(s) - F.length(F.replace(s, F.lit(BPE_SEP), F.lit("")))).cast("long")
+
+
+def pack_plan(
+    docs: DataFrame, budget: int = 2048, part_col: str = "source", counter=None
+) -> DataFrame:
     """Training-sequence packing plan — GPT-style "concatenate and chop"
     (Brown et al. 2020 §2.3: documents are concatenated in order and split
     into context-length sequences; T5/LLaMA pipelines pack the same way):
@@ -812,8 +941,14 @@ def pack_plan(docs: DataFrame, budget: int = 2048, part_col: str = "source") -> 
     the window work — the production partition key is a bounded ingest
     shard (file/WARC id), so no global single-partition sequence exists
     anywhere. Cross-shard bin ids are (part, bin) pairs by design: packing
-    never needs a global sequence number."""
-    t = token_count(norm_text(F.coalesce(F.col("text"), F.lit(""))))
+    never needs a global sequence number.
+
+    ``counter``: the per-document token-count expression — defaults to the
+    whitespace token_count; pass ``bpe_token_count(F.col('text'))`` to pack
+    by REAL subword tokens (what a training loader actually bins on)."""
+    t = counter if counter is not None else token_count(
+        norm_text(F.coalesce(F.col("text"), F.lit("")))
+    )
     d = docs.select(
         "doc_id", F.col(part_col).alias("part"), t.alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)

@@ -1,0 +1,115 @@
+"""Byte-level BPE tokenizer (operators.textstats): committed merge table,
+chained-replace application equivalence vs the reference min-rank encoder,
+JVM-only plan, and BPE-count packing."""
+
+from __future__ import annotations
+
+import re
+
+from ocr_machine_spark.operators.textstats import (
+    BPE_MERGES,
+    BPE_SEP,
+    bpe_token_count,
+    bpe_tokens,
+    train_bpe_merges,
+)
+
+SF = "/root/testdata/sf0.001"
+RANK = {p: i for i, p in enumerate(BPE_MERGES)}
+
+
+def _norm(t: str) -> str:
+    return re.sub(r"\s+", " ", (t or "").lower()).strip()
+
+
+def _reference_encode_word(w: str) -> list[str]:
+    """GPT-2's algorithm verbatim: repeatedly merge the min-rank pair
+    present, leftmost-first within a pass, until none remains."""
+    toks = list(w)
+    while True:
+        pairs = {(toks[i], toks[i + 1]) for i in range(len(toks) - 1)}
+        cand = [p for p in pairs if p in RANK]
+        if not cand:
+            return toks
+        a, b = min(cand, key=lambda p: RANK[p])
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+
+
+def _reference_delimited(tx: str) -> str:
+    if not tx:
+        return ""
+    return " ".join(
+        BPE_SEP.join(_reference_encode_word(w)) + BPE_SEP for w in tx.split(" ")
+    )
+
+
+def test_committed_merge_table_is_by_construction(spark):
+    """The committed BPE_MERGES constant IS train_bpe_merges(sf0.001 docs,
+    24) — the vocab-file provenance gate."""
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").select("text").collect()
+    ]
+    assert train_bpe_merges(texts, 24) == BPE_MERGES
+
+
+def test_chained_replace_equals_reference_encoder(spark):
+    """Rank-ordered chained replace ≡ GPT-2's repeat-min-rank loop — on the
+    whole fixture corpus plus adversarial self-overlap/chain cases."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {r["doc_id"]: r for r in bpe_tokens(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        exp = _reference_delimited(_norm(row["text"]))
+        g = got[row["doc_id"]]
+        assert g["bpe_text"] == exp
+        assert g["n_bpe_tokens"] == exp.count(BPE_SEP)
+
+    extra = spark.createDataFrame(
+        [
+            (0, "aaaa"),
+            (1, "scan scans scanner window windows sort sorted resort"),
+            (2, "ararar perter colucolumn"),
+            (3, ""),
+            (4, None),
+            (5, "text with\x01stray separator"),
+        ],
+        "doc_id long, text string",
+    )
+    for r in bpe_tokens(extra).collect():
+        src = dict(extra.collect())[r["doc_id"]]
+        exp = _reference_delimited(_norm((src or "").replace(BPE_SEP, "")))
+        assert r["bpe_text"] == exp, r["doc_id"]
+
+
+def test_bpe_is_pure_jvm(spark):
+    """The tokenizer must compile to JVM string expressions — no Python
+    eval nodes anywhere in the plan (the replace-chain design point)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = bpe_tokens(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "mapinpandas" not in plan.lower()
+
+
+def test_pack_plan_over_bpe_counts(spark):
+    """pack_plan(counter=bpe_token_count) bins on subword counts: for every
+    doc, n_tokens equals the tokenizer's count, and the whitespace default
+    differs somewhere (BPE merges change the totals)."""
+    from pyspark.sql import functions as F
+
+    from ocr_machine_spark.operators.textstats import pack_plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    packed = pack_plan(docs, budget=64, counter=bpe_token_count(F.col("text")))
+    counts = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_tokens(docs).collect()}
+    rows = packed.collect()
+    assert rows and all(r["n_tokens"] == counts[r["doc_id"]] for r in rows)
+    default_rows = {r["doc_id"]: r["n_tokens"] for r in pack_plan(docs, budget=64).collect()}
+    assert any(default_rows[r["doc_id"]] != r["n_tokens"] for r in rows)
