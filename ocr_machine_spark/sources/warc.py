@@ -374,6 +374,110 @@ def read_warc_cdx(spark, path: str):
     )
 
 
+def fetch_record_at(path: str, offset: int, length: int) -> dict | None:
+    """The CDX random-access read contract, as one call: range-read
+    ``[offset, offset+length)`` of ``path``, gunzip if the span is a gzip
+    member, parse exactly one WARC record. Returns the response dict
+    (url, warc_ts, status, mime, html) or None for a non-response record.
+    Raises ValueError for truncated ranges / corrupt members (the module's
+    taxonomy), with the same per-member inflation cap as ingest."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        blob = f.read(length)
+    if len(blob) != length:
+        raise ValueError(
+            f"truncated range read at {path}:{offset}+{length} (got {len(blob)})"
+        )
+    if blob[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            raw = d.decompress(blob, MAX_INFLATED_MEMBER + 1)
+        except zlib.error as exc:
+            raise ValueError(f"bad gzip member at {path}:{offset}: {exc}") from exc
+        if len(raw) > MAX_INFLATED_MEMBER:
+            raise ValueError(
+                f"gzip member at {path}:{offset} exceeds size cap "
+                f"({MAX_INFLATED_MEMBER} bytes inflated)"
+            )
+    else:
+        raw = blob
+    # frame the record with the normal parser: spans include the trailing
+    # record CRLFs (both layouts), which _iter_plain trims by Content-Length
+    # — handing the untrimmed blob straight to _parse_response would leak
+    # those 4 bytes into the body
+    _, _, rec = next(iter(_iter_plain(raw)))
+    return _parse_response(rec)
+
+
+def fetch_by_url(spark, cdx, warc_dir: str, urls=None):
+    """CDX consumer — fetch documents back out of the archives by url:
+    resolve urls against the index, then range-read + parse exactly the
+    addressed records. → DataFrame(url, status, mime, html).
+
+    ``urls``: a list of url strings or a DataFrame with a ``url`` column;
+    None fetches every indexed record. The request set semi-joins the
+    index (broadcast when small — the common lookup shape; AQE degrades to
+    a shuffled semi for giant request lists), so only matching index rows
+    ever reach the fetch stage.
+
+    Scale shape: the fetch is a pure Arrow-batched map over index rows —
+    no shuffle; within a batch reads are grouped per file and ordered by
+    offset (sequential-ish I/O, one open per file per batch). Against an
+    object store each (file, offset, length) becomes one range request —
+    the Common Crawl access pattern; the index side is a url-sorted
+    parquet, so predicate pushdown prunes row groups before any I/O."""
+    import os
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    sel = cdx
+    if urls is not None:
+        if isinstance(urls, (list, tuple)):
+            req = spark.createDataFrame([(u,) for u in urls], "url string")
+        else:
+            req = urls.select("url")
+        sel = cdx.join(F.broadcast(req.distinct()), "url", "left_semi")
+
+    out_pa = pa.schema(
+        [
+            ("url", pa.string()),
+            ("status", pa.int32()),
+            ("mime", pa.string()),
+            ("html", pa.binary()),
+        ]
+    )
+
+    def run(batches):
+        for batch in batches:
+            rows = batch.to_pylist()
+            rows.sort(key=lambda r: (r["file"], r["offset"]))
+            out: list[dict] = []
+            for r in rows:
+                rec = fetch_record_at(
+                    os.path.join(warc_dir, r["file"]), r["offset"], r["length"]
+                )
+                if rec is None:
+                    continue
+                out.append(
+                    {
+                        "url": rec["url"],
+                        "status": rec["status"],
+                        "mime": rec["mime"],
+                        "html": rec["html"],
+                    }
+                )
+                if len(out) >= 256:
+                    yield pa.RecordBatch.from_pylist(out, schema=out_pa)
+                    out = []
+            if out:
+                yield pa.RecordBatch.from_pylist(out, schema=out_pa)
+
+    return sel.select("file", "url", "offset", "length").mapInArrow(
+        run, "url string, status int, mime string, html binary"
+    )
+
+
 def warc_fixture(
     n: int, seed: int = 42, base_dir: str = "/tmp/ocr_machine_spark_goldens"
 ) -> tuple[str, str]:

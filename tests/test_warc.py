@@ -103,6 +103,49 @@ def test_cdx_random_access_contract():
         assert hashlib.md5(rec["html"]).hexdigest() == w.html_md5
 
 
+def test_fetch_record_at_both_layouts():
+    """fetch_record_at is the CDX read contract as one call: byte-exact
+    body recovery from plain and gz spans, with the trailing record CRLFs
+    trimmed (not leaked into the body)."""
+    import hashlib
+
+    import duckdb
+
+    warc_dir, golden = W.warc_fixture(50)
+    gold = duckdb.sql(f"SELECT * FROM '{golden}'").df()
+    for _, w in gold.iloc[::9].iterrows():
+        rec = W.fetch_record_at(f"{warc_dir}/{w.file}", int(w.offset), int(w.length))
+        assert rec["url"] == w.url
+        assert len(rec["html"]) == w.n_bytes
+        assert hashlib.md5(rec["html"]).hexdigest() == w.html_md5
+    # truncated range: module taxonomy, not a silent short body
+    w = gold.iloc[0]
+    with pytest.raises(ValueError, match="truncated range"):
+        W.fetch_record_at(f"{warc_dir}/{w.file}", int(w.offset), int(w.length) + 10**6)
+
+
+def test_fetch_by_url_resolves_only_requested(spark):
+    """fetch_by_url: request set semi-joins the index — unknown urls are
+    absent (no error), requested ones come back byte-exact."""
+    import hashlib
+
+    import duckdb
+
+    warc_dir, golden = W.warc_fixture(50)
+    gold = duckdb.sql(f"SELECT * FROM '{golden}'").df().set_index("url")
+    want = list(gold.index[:5])
+    got = {
+        r["url"]: r
+        for r in W.fetch_by_url(
+            spark, W.read_warc_cdx(spark, warc_dir), warc_dir,
+            urls=want + ["https://nowhere.example/missing"],
+        ).collect()
+    }
+    assert sorted(got) == sorted(want)
+    for u in want:
+        assert hashlib.md5(got[u]["html"]).hexdigest() == gold.loc[u, "html_md5"]
+
+
 def test_cdx_rejects_whole_file_gzip_but_ingest_accepts():
     """A .warc.gz that is one gzip stream over the whole archive (not
     member-per-record) has no per-record compressed spans: CDX must raise
