@@ -51,6 +51,10 @@ AUDITED = [
     ("sitemap_ingest", "pure-map discovery feed: regexp_extract_all blocks -> ONE Generate (explode) -> codegen'd loc/lastmod extraction; zero shuffles after the fixture generator's distinct (the production scan path has no pre-shuffle)"),
     ("ann_pq_topk", "Arrow numpy encode (8 codes/vec) -> posexplode + BROADCAST LUT join -> (qid,nid) agg -> ADC top-R window -> broadcast candidates back onto the scan for exact-cosine refine -> top-k"),
     ("anchor_text_index", "(target,term) partial-count agg (hot nav terms combine map-side) -> row_number rank<=j compiled to WindowGroupLimit: partial top-j BELOW the exchange, mega-targets ship <=j rows per upstream partition"),
+    ("model_train_eval", "per-epoch Arrow gradient pass pre-reduced to <=dim+4 rows per batch (map-side numpy int64 combine) -> tiny (kind,pos) agg localCheckpoint'd; plan shown is the final metrics assembly: unions of 1-row epoch folds + a 1-row min-struct broadcast for the best-checkpoint flag"),
+    ("doc_span_dedup", "md5(gram)-keyed partial agg (map-side combine collapses hot boilerplate grams BEFORE the shuffle) -> witness join-back -> position explode + distinct -> left join + per-doc ordered reassembly; three shuffles, no window on the hot key"),
+    ("doc_bpe_tokens", "the ENTIRE tokenizer is a codegen'd chain of literal replace() string expressions over one projection — zero Python, zero shuffles, zero joins"),
+    ("warc_fetch_by_url", "request urls BROADCAST-semi-join the CDX index (only matching index rows survive); the fetch stage is a pure mapInArrow range-read per record — no shuffle anywhere"),
     ("corpus_curation_stats", "extract -> gates -> dedup semi-join -> split agg in ONE plan"),
     ("extraction_e2e", "one mapInArrow extract stage; the Exchange below it is the FIXTURE GENERATOR's salted distribution (the oracle corpus is generated, not scanned) — the production scan path has no pre-shuffle (bench.py extract_pages; ReadSchema pruning CI-gated)"),
 ]
@@ -104,6 +108,46 @@ def main() -> None:
         parts.append(f"\n## {name}\n\n_{note}_\n\n```")
         parts.extend(skeleton(plan))
         parts.append("```")
+
+    # production frontier plan (jobs.py --job frontier): not a queries()
+    # entry — audited from the composed DataFrame directly. The promise:
+    # every per-host model table (robots rules, crawl delays, PageRank
+    # ranks) BROADCASTS onto the url stream; url-keyed work (candidate
+    # distinct, freshness diff, decision window, assembly joins) shuffles
+    # on the one url key.
+    from pyspark.sql import functions as F
+
+    from ocr_machine_spark.plans.frontier import build_frontier
+    from ocr_machine_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 200, partitions=4)
+    old = pages.where(F.xxhash64("url") % 4 != 0)
+    hosts = pages.select(
+        F.regexp_replace(
+            F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1),
+            r"^www\.", "",
+        ).alias("host")
+    ).distinct()
+    robots = hosts.select(
+        "host", F.lit("User-agent: *\nDisallow: /page/1\nCrawl-delay: 2\n").alias("robots_txt")
+    )
+    sitemaps = hosts.limit(1).select(
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/sitemap.xml")).alias("sitemap_url"),
+        F.concat(F.lit("<urlset><url><loc>https://"), F.col("host"),
+                 F.lit("/new/1</loc></url></urlset>")).alias("xml"),
+    )
+    fr = build_frontier(pages, robots=robots, sitemaps=sitemaps, old_pages=old)
+    parts.append(
+        "\n## frontier (jobs.py --job frontier)\n\n"
+        "_scheduler feed: per-host model tables (rules/delays/ranks) are "
+        "broadcast-sized and AQE broadcasts them at runtime (no forced hint — "
+        "the 10^8-host extreme must be allowed to degrade to a host-keyed "
+        "equi-join, the robots_check policy); url-keyed shuffles share the "
+        "one url key; PageRank's own iterations shuffle host-keyed rows "
+        "only_\n\n```"
+    )
+    parts.extend(skeleton(fr._jdf.queryExecution().executedPlan().toString(), limit=40))
+    parts.append("```")
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(parts) + "\n")
     print("wrote PLANS.md")

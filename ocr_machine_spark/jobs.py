@@ -91,8 +91,23 @@ def main(argv: list[str] | None = None) -> None:
         "point --input at the archive directory",
     )
     ap.add_argument(
+        "--robots",
+        default=None,
+        help="frontier only: parquet of fetched robots bodies "
+        "(host, robots_txt columns) — feeds the RFC 9309 allow gate and "
+        "Crawl-delay politeness; without it every url is allowed with no "
+        "delay",
+    )
+    ap.add_argument(
+        "--sitemaps",
+        default=None,
+        help="frontier only: parquet of fetched sitemap bodies "
+        "(sitemap_url, xml columns) — urlset locs not already in the "
+        "snapshot enter the frontier as freshness='discovered'",
+    )
+    ap.add_argument(
         "--job",
-        choices=("extract", "curate", "linkgraph", "cdx"),
+        choices=("extract", "curate", "linkgraph", "cdx", "frontier"),
         default="extract",
         help="extract (default): bucket-committed incremental extraction of a "
         "pages table; curate: Gopher quality filter + exact-dedup survivor "
@@ -101,7 +116,11 @@ def main(argv: list[str] | None = None) -> None:
         "host-level edge list + exact-integer PageRank over a pages table "
         "(pure overwrite job, same idempotence argument as curate); cdx: "
         "url-sorted random-access index over WARC archives (--input is the "
-        "archive dir; WARC input is implied)",
+        "archive dir; WARC input is implied); frontier: the crawl-scheduler "
+        "feed (url, allowed, rule_prefix, crawl_delay_ms, priority_e9, "
+        "freshness) composing the robots gate, Crawl-delay politeness, "
+        "sitemap discovery, snapshot freshness (--diff-against) and "
+        "host-PageRank priority over a pages table (pure overwrite job)",
     )
     ap.add_argument(
         "--dedup-lines",
@@ -120,10 +139,15 @@ def main(argv: list[str] | None = None) -> None:
 
     # one warning policy for every branch: flags that don't apply to the
     # selected job are named, never silently ignored
+    crawl_inputs = (
+        ("--robots", args.robots, None),
+        ("--sitemaps", args.sitemaps, None),
+    )
     inapplicable = {
         "extract": (
             ("--dedup-lines", args.dedup_lines, False),
             ("--decontaminate", args.decontaminate, None),
+            *crawl_inputs,
         ),
         "linkgraph": (
             ("--buckets", args.buckets, 256),
@@ -131,12 +155,20 @@ def main(argv: list[str] | None = None) -> None:
             ("--dedup-lines", args.dedup_lines, False),
             ("--diff-against", args.diff_against, None),
             ("--decontaminate", args.decontaminate, None),
+            *crawl_inputs,
         ),
         "curate": (
             ("--buckets", args.buckets, 256),
             ("--partitions", args.partitions, None),
             ("--output-table", args.output_table, None),
             ("--diff-against", args.diff_against, None),
+            *crawl_inputs,
+        ),
+        "frontier": (
+            ("--buckets", args.buckets, 256),
+            ("--output-table", args.output_table, None),
+            ("--dedup-lines", args.dedup_lines, False),
+            ("--decontaminate", args.decontaminate, None),
         ),
         "cdx": (
             ("--buckets", args.buckets, 256),
@@ -145,6 +177,7 @@ def main(argv: list[str] | None = None) -> None:
             ("--dedup-lines", args.dedup_lines, False),
             ("--diff-against", args.diff_against, None),
             ("--decontaminate", args.decontaminate, None),
+            *crawl_inputs,
             # cdx always reads WARC; an explicit CONFLICTING format must be
             # named as ignored, not silently dropped into a parse error
             # ('auto' and 'warc' are both consistent with the job)
@@ -198,6 +231,24 @@ def main(argv: list[str] | None = None) -> None:
         is_table = looks_like_table and spark.catalog.tableExists(args.input)
         pages = spark.table(args.input) if is_table else spark.read.parquet(args.input)
 
+    if args.job == "frontier":
+        from ocr_machine_spark.plans.frontier import run_frontier
+
+        stats = run_frontier(
+            spark,
+            pages,
+            args.output,
+            run_id=args.run_id,
+            robots=spark.read.parquet(args.robots) if args.robots else None,
+            sitemaps=spark.read.parquet(args.sitemaps) if args.sitemaps else None,
+            old_pages=(
+                spark.read.parquet(args.diff_against) if args.diff_against else None
+            ),
+            partitions=args.partitions,
+        )
+        print(json.dumps(stats))
+        spark.stop()
+        return
     if args.job == "linkgraph":
         from ocr_machine_spark.plans.linkgraph import run_linkgraph
 
