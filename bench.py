@@ -104,6 +104,14 @@ HEADLINE = [
     "robots_crawl_delays",
     "host_components",
     "sitemap_ingest",
+    # round 6: the trained classifier (per-epoch scans — the heaviest new
+    # surface), exact substring dedup, the BPE replace-chain tokenizer, and
+    # the CDX fetch round trip — timed from day one (bench promotion is the
+    # per-row-blowup detector)
+    "model_train_eval",
+    "doc_span_dedup",
+    "doc_bpe_tokens",
+    "warc_fetch_by_url",
 ]
 
 
