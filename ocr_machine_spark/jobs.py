@@ -106,8 +106,20 @@ def main(argv: list[str] | None = None) -> None:
         "snapshot enter the frontier as freshness='discovered'",
     )
     ap.add_argument(
+        "--epochs",
+        type=int,
+        default=4,
+        help="train only: gradient-descent epochs",
+    )
+    ap.add_argument(
+        "--lr",
+        default="0.25",
+        help="train only: learning rate as a DECIMAL STRING (parse-identical "
+        "across engines — the exactness convention)",
+    )
+    ap.add_argument(
         "--job",
-        choices=("extract", "curate", "linkgraph", "cdx", "frontier"),
+        choices=("extract", "curate", "linkgraph", "cdx", "frontier", "train"),
         default="extract",
         help="extract (default): bucket-committed incremental extraction of a "
         "pages table; curate: Gopher quality filter + exact-dedup survivor "
@@ -120,7 +132,11 @@ def main(argv: list[str] | None = None) -> None:
         "feed (url, allowed, rule_prefix, crawl_delay_ms, priority_e9, "
         "freshness) composing the robots gate, Crawl-delay politeness, "
         "sitemap discovery, snapshot freshness (--diff-against) and "
-        "host-PageRank priority over a pages table (pure overwrite job)",
+        "host-PageRank priority over a pages table (pure overwrite job); "
+        "train: the EP3 lifecycle over an embeddings table — gradient-"
+        "descent training on the hash split, per-epoch val folds, "
+        "best-checkpoint selection, batch inference on the test split "
+        "(writes metrics/weights/scores; pure overwrite job)",
     )
     ap.add_argument(
         "--dedup-lines",
@@ -143,9 +159,23 @@ def main(argv: list[str] | None = None) -> None:
         ("--robots", args.robots, None),
         ("--sitemaps", args.sitemaps, None),
     )
+    train_inputs = (
+        ("--epochs", args.epochs, 4),
+        ("--lr", args.lr, "0.25"),
+    )
     inapplicable = {
         "extract": (
             ("--dedup-lines", args.dedup_lines, False),
+            ("--decontaminate", args.decontaminate, None),
+            *crawl_inputs,
+            *train_inputs,
+        ),
+        "train": (
+            ("--buckets", args.buckets, 256),
+            ("--partitions", args.partitions, None),
+            ("--output-table", args.output_table, None),
+            ("--dedup-lines", args.dedup_lines, False),
+            ("--diff-against", args.diff_against, None),
             ("--decontaminate", args.decontaminate, None),
             *crawl_inputs,
         ),
@@ -156,6 +186,7 @@ def main(argv: list[str] | None = None) -> None:
             ("--diff-against", args.diff_against, None),
             ("--decontaminate", args.decontaminate, None),
             *crawl_inputs,
+            *train_inputs,
         ),
         "curate": (
             ("--buckets", args.buckets, 256),
@@ -163,12 +194,14 @@ def main(argv: list[str] | None = None) -> None:
             ("--output-table", args.output_table, None),
             ("--diff-against", args.diff_against, None),
             *crawl_inputs,
+            *train_inputs,
         ),
         "frontier": (
             ("--buckets", args.buckets, 256),
             ("--output-table", args.output_table, None),
             ("--dedup-lines", args.dedup_lines, False),
             ("--decontaminate", args.decontaminate, None),
+            *train_inputs,
         ),
         "cdx": (
             ("--buckets", args.buckets, 256),
@@ -178,6 +211,7 @@ def main(argv: list[str] | None = None) -> None:
             ("--diff-against", args.diff_against, None),
             ("--decontaminate", args.decontaminate, None),
             *crawl_inputs,
+            *train_inputs,
             # cdx always reads WARC; an explicit CONFLICTING format must be
             # named as ignored, not silently dropped into a parse error
             # ('auto' and 'warc' are both consistent with the job)
@@ -231,6 +265,20 @@ def main(argv: list[str] | None = None) -> None:
         is_table = looks_like_table and spark.catalog.tableExists(args.input)
         pages = spark.table(args.input) if is_table else spark.read.parquet(args.input)
 
+    if args.job == "train":
+        from ocr_machine_spark.plans.train import run_training
+
+        stats = run_training(
+            spark,
+            pages,  # an embeddings table for this job (vec_id, embedding, label)
+            args.output,
+            run_id=args.run_id,
+            epochs=args.epochs,
+            lr=args.lr,
+        )
+        print(json.dumps(stats))
+        spark.stop()
+        return
     if args.job == "frontier":
         from ocr_machine_spark.plans.frontier import run_frontier
 

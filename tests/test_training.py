@@ -100,3 +100,51 @@ def test_ragged_and_null_vectors_are_excluded(spark):
     tl = train_linear(poisoned, dim=64, epochs=1, lr="0.25")
     rows = tl.metrics.collect()
     assert len(rows) == 2 and all(r["val_sse_e4"] > 0 for r in rows)
+
+
+def test_train_cli_end_to_end(spark, tmp_path):
+    """Production surface: jobs.py --job train in a subprocess — writes
+    metrics/weights/scores, stats consistent with the tables, and the
+    weights table round-trips into predict_linear."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "out")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, "ocr_machine_spark/jobs.py", "--job", "train",
+         "--input", f"{SF}/embeddings.parquet", "--output", out,
+         "--run-id", "t1", "--epochs", "3", "--master", "local[4]"],
+        capture_output=True, text=True, cwd=repo_root, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads(res.stdout.strip().splitlines()[-1])
+    assert stats["dim"] == 64 and stats["epochs"] == 3
+    assert stats["val_sse_e4_best"] < stats["val_sse_e4_init"]
+    assert stats["test_invalid"] == 0
+
+    metrics = spark.read.parquet(f"{out}/metrics")
+    assert metrics.count() == 4  # epochs 0..3
+    best = [r["epoch"] for r in metrics.collect() if r["is_best"]]
+    assert best == [stats["best_epoch"]]
+
+    weights = {r["pos"]: r["w"] for r in spark.read.parquet(f"{out}/weights").collect()}
+    assert sorted(weights) == list(range(-1, 64))
+    scores = spark.read.parquet(f"{out}/scores")
+    assert scores.count() == stats["test_scored"] > 0
+
+    # the written checkpoint reproduces the job's own scores exactly
+    from ocr_machine_spark.operators.inference import predict_linear
+    from ocr_machine_spark.operators.training import md5_split
+    from pyspark.sql import functions as F
+
+    w = np.array([weights[i] for i in range(64)])
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        md5_split(F.col("vec_id")) == "test"
+    )
+    re_scored = predict_linear(emb, dim=64, weights=(w, weights[-1]))
+    assert sorted(map(tuple, re_scored.collect())) == sorted(
+        map(tuple, scores.collect())
+    )
