@@ -146,6 +146,15 @@ def main(argv: list[str] | None = None) -> None:
         "rewritten from surviving lines, and the curated/decision tables "
         "gain n_lines/n_lines_kept",
     )
+    ap.add_argument(
+        "--dedup-spans",
+        action="store_true",
+        help="curate only: exact substring dedup (Lee et al. 2022) before "
+        "the quality ladder (after --dedup-lines when both are set) — "
+        "later corpus occurrences of any duplicated >=8-word run are "
+        "excised (case-insensitive match, case-preserving rewrite); the "
+        "curated/decision tables gain n_span_words/n_span_kept",
+    )
     args = ap.parse_args(argv)
 
     from ocr_machine_spark.plans.lineage import run_extraction
@@ -166,6 +175,7 @@ def main(argv: list[str] | None = None) -> None:
     inapplicable = {
         "extract": (
             ("--dedup-lines", args.dedup_lines, False),
+            ("--dedup-spans", args.dedup_spans, False),
             ("--decontaminate", args.decontaminate, None),
             *crawl_inputs,
             *train_inputs,
@@ -175,6 +185,7 @@ def main(argv: list[str] | None = None) -> None:
             ("--partitions", args.partitions, None),
             ("--output-table", args.output_table, None),
             ("--dedup-lines", args.dedup_lines, False),
+            ("--dedup-spans", args.dedup_spans, False),
             ("--diff-against", args.diff_against, None),
             ("--decontaminate", args.decontaminate, None),
             *crawl_inputs,
@@ -183,6 +194,7 @@ def main(argv: list[str] | None = None) -> None:
             ("--buckets", args.buckets, 256),
             ("--output-table", args.output_table, None),
             ("--dedup-lines", args.dedup_lines, False),
+            ("--dedup-spans", args.dedup_spans, False),
             ("--diff-against", args.diff_against, None),
             ("--decontaminate", args.decontaminate, None),
             *crawl_inputs,
@@ -200,6 +212,7 @@ def main(argv: list[str] | None = None) -> None:
             ("--buckets", args.buckets, 256),
             ("--output-table", args.output_table, None),
             ("--dedup-lines", args.dedup_lines, False),
+            ("--dedup-spans", args.dedup_spans, False),
             ("--decontaminate", args.decontaminate, None),
             *train_inputs,
         ),
@@ -208,6 +221,7 @@ def main(argv: list[str] | None = None) -> None:
             ("--partitions", args.partitions, None),
             ("--output-table", args.output_table, None),
             ("--dedup-lines", args.dedup_lines, False),
+            ("--dedup-spans", args.dedup_spans, False),
             ("--diff-against", args.diff_against, None),
             ("--decontaminate", args.decontaminate, None),
             *crawl_inputs,
@@ -322,6 +336,7 @@ def main(argv: list[str] | None = None) -> None:
             args.output,
             run_id=args.run_id,
             dedup_lines=args.dedup_lines,
+            dedup_spans=args.dedup_spans,
             bench=bench,
         )
         print(json.dumps(stats))

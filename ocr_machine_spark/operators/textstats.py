@@ -703,7 +703,13 @@ def line_dedup(docs: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
-def span_dedup(docs: DataFrame, min_len: int = 8, text: str = "text") -> DataFrame:
+def span_dedup(
+    docs: DataFrame,
+    min_len: int = 8,
+    text: str = "text",
+    *,
+    preserve_case: bool = False,
+) -> DataFrame:
     """Exact substring deduplication (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better" — ExactSubstr): corpus-wide
     removal of duplicated runs of ≥ ``min_len`` consecutive words, keeping
@@ -738,11 +744,21 @@ def span_dedup(docs: DataFrame, min_len: int = 8, text: str = "text") -> DataFra
     reassembly). The gram array is materialized as its own projection
     before the HOF transform (the winnow_fingerprints O(words²) lesson).
 
+    ``preserve_case=True`` (the curation-rewrite mode): matching stays
+    case-insensitive (grams hash the lowercased words — identical witness
+    sets), but the reassembled text keeps the original word casing
+    (whitespace still collapses — positions must align with the match
+    tokenization). The gated default reassembles normalized (lowercased)
+    words, the engine-wide norm_text policy.
+
     Reference twin: the reference removes repeated strikethrough regions
     once detected (white_out_manager.py:27-34 span excision); this is the
     corpus-scale text form of remove-span-keep-rest.
     """
-    tx = norm_text(F.coalesce(F.col(text), F.lit("")))
+    collapsed = F.trim(
+        F.regexp_replace(F.coalesce(F.col(text), F.lit("")), r"\s+", " ")
+    )
+    tx = collapsed if preserve_case else F.lower(collapsed)
     base = docs.select("doc_id", tx.alias("tx")).filter(F.col("tx") != "")
     w = base.select("doc_id", F.split("tx", " ").alias("ws"))
     words = w.select(
@@ -753,7 +769,11 @@ def span_dedup(docs: DataFrame, min_len: int = 8, text: str = "text") -> DataFra
         n >= min_len,
         F.transform(
             F.sequence(F.lit(1), n - (min_len - 1)),
-            lambda i: F.md5(F.array_join(F.slice(F.col("ws"), i, min_len), " ")),
+            # lower() INSIDE the hash: witness identity is case-insensitive
+            # in both modes (a no-op when tx is already lowercased)
+            lambda i: F.md5(
+                F.lower(F.array_join(F.slice(F.col("ws"), i, min_len), " "))
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = w.select("doc_id", F.posexplode(gram_arr).alias("p", "gh")).select(

@@ -22,7 +22,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_machine_spark.functions import norm_text
-from ocr_machine_spark.operators.textstats import gopher_filter, line_dedup
+from ocr_machine_spark.operators.textstats import gopher_filter, line_dedup, span_dedup
+
+
+def _rewrite_deduped_spans(docs: DataFrame) -> DataFrame:
+    """Replace ``text`` with its exact-substring-deduplicated rewrite
+    (Lee et al. 2022 — later corpus occurrences of any ≥8-word run are
+    excised) and attach ``n_span_words``/``n_span_kept``. preserve_case:
+    matching is case-insensitive but the curated text keeps the original
+    casing (whitespace collapses — the match tokenization). Left join:
+    documents with empty normalized text (no span_dedup row) flow on with
+    empty text so their audit row survives. Pure function of the input."""
+    sd = span_dedup(docs, preserve_case=True).select(
+        "doc_id",
+        F.col("n_words").alias("n_span_words"),
+        F.col("n_kept").alias("n_span_kept"),
+        "text_dedup",
+    )
+    return (
+        docs.drop("text")
+        .join(sd, "doc_id", "left")
+        .withColumn("text", F.coalesce("text_dedup", F.lit("")))
+        .withColumn("n_span_words", F.coalesce("n_span_words", F.lit(0)))
+        .withColumn("n_span_kept", F.coalesce("n_span_kept", F.lit(0)))
+        .drop("text_dedup")
+    )
 
 
 def _rewrite_deduped_lines(docs: DataFrame) -> DataFrame:
@@ -48,6 +72,7 @@ def curate_documents(
     docs: DataFrame,
     *,
     dedup_lines: bool = False,
+    dedup_spans: bool = False,
     bench: DataFrame | None = None,
     decon_k: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
@@ -82,6 +107,11 @@ def curate_documents(
     """
     if dedup_lines:
         docs = _rewrite_deduped_lines(docs)
+    if dedup_spans:
+        # after line dedup by design: lines kill whole-line boilerplate
+        # cheaply, spans then excise the remaining long duplicated RUNS
+        # (Lee et al. order: substring dedup over the cleaned corpus)
+        docs = _rewrite_deduped_spans(docs)
     decision = gopher_filter(docs)
     if bench is not None:
         from ocr_machine_spark.operators.textstats import benchmark_contamination
@@ -123,6 +153,9 @@ def curate_documents(
     if dedup_lines:
         d = d.join(docs.select("doc_id", "n_lines", "n_lines_kept"), "doc_id")
         audit_cols += ["n_lines", "n_lines_kept"]
+    if dedup_spans:
+        d = d.join(docs.select("doc_id", "n_span_words", "n_span_kept"), "doc_id")
+        audit_cols += ["n_span_words", "n_span_kept"]
     return curated, d.select(*audit_cols)
 
 
@@ -133,6 +166,7 @@ def run_curation(
     *,
     run_id: str,
     dedup_lines: bool = False,
+    dedup_spans: bool = False,
     bench: DataFrame | None = None,
 ) -> dict:
     """Write curated docs + decision audit table under ``out_dir``;
@@ -141,16 +175,20 @@ def run_curation(
     Dataflow: only the DECISION frame is computed from the live plan; the
     curated table and the stats both derive from the decisions parquet read
     back after the write, so the three outputs can never disagree."""
-    _, decision = curate_documents(docs, dedup_lines=dedup_lines, bench=bench)
+    _, decision = curate_documents(
+        docs, dedup_lines=dedup_lines, dedup_spans=dedup_spans, bench=bench
+    )
     decision.write.mode("overwrite").parquet(f"{out_dir}/decisions")
     # read the audit table back and derive BOTH outputs from it — one
     # computation of the (nondeterminism-free) plan, stats match the files
     dec = spark.read.parquet(f"{out_dir}/decisions")
     if dedup_lines:
-        # the curated table must carry the CLEANED text; the rewrite is a
-        # pure function of the input, so re-applying it here agrees with
-        # the decisions computed from it above
+        # the curated table must carry the CLEANED text; the rewrites are
+        # pure functions of the input, so re-applying them here agrees with
+        # the decisions computed from them above
         docs = _rewrite_deduped_lines(docs)
+    if dedup_spans:
+        docs = _rewrite_deduped_spans(docs)
     docs.join(dec.filter(F.col("survivor")).select("doc_id", "fp"), "doc_id").write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/curated")
@@ -180,6 +218,12 @@ def run_curation(
         ).collect()[0]
         stats["lines_in"] = int(lc["li"] or 0)
         stats["lines_kept"] = int(lc["lk"] or 0)
+    if dedup_spans:
+        sp = dec.agg(
+            F.sum("n_span_words").alias("wi"), F.sum("n_span_kept").alias("wk")
+        ).collect()[0]
+        stats["span_words_in"] = int(sp["wi"] or 0)
+        stats["span_words_kept"] = int(sp["wk"] or 0)
     if bench is not None:
         stats["docs_contaminated"] = int(
             dec.agg(F.sum(F.col("contaminated").cast("long"))).collect()[0][0] or 0

@@ -283,3 +283,49 @@ def test_curation_decontaminates(spark, tmp_path):
     assert dec[3]["reasons"].endswith(",contaminated")  # appended after quality
     curated = {r["doc_id"] for r in spark.read.parquet(f"{out}/curated").collect()}
     assert curated == {2}
+
+
+def test_curation_dedups_spans(spark, tmp_path):
+    """--dedup-spans path: a duplicated >=8-word run appended to every doc
+    survives only at its first corpus site; the curated text keeps the
+    ORIGINAL casing (match is case-insensitive); stats reconcile and a
+    re-run is idempotent."""
+    import pyspark.sql.functions as F
+
+    from ocr_machine_spark.plans.curate import run_curation
+
+    base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    run = "Please Subscribe To Our Weekly Newsletter For More Updates"  # 9 words
+    docs = base.select(
+        "doc_id", F.concat_ws(" ", "text", F.lit(run)).alias("text")
+    )
+    out = str(tmp_path / "curated_sd")
+    s1 = run_curation(spark, docs, out, run_id="s1", dedup_spans=True)
+    assert s1["span_words_kept"] < s1["span_words_in"]
+    curated = spark.read.parquet(f"{out}/curated")
+    keepers = curated.filter(F.col("text").contains(run))
+    assert keepers.count() <= 1  # case preserved at the surviving site
+    assert curated.filter(F.lower("text").contains(run.lower())).count() <= 1
+    s2 = run_curation(spark, docs, out, run_id="s2", dedup_spans=True)
+    assert {k: v for k, v in s2.items() if k != "run_id"} == {
+        k: v for k, v in s1.items() if k != "run_id"
+    }
+
+
+def test_span_dedup_preserve_case(spark):
+    """preserve_case: witness identity is case-insensitive (UPPER copy of a
+    run is excised against a lower first site) while surviving text keeps
+    its original casing."""
+    from ocr_machine_spark.operators.textstats import span_dedup
+
+    run = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(0, f"Keep Me {run} Tail"), (1, f"x {run.upper()} y")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text_dedup"] for r in
+           span_dedup(docs, min_len=8, preserve_case=True).collect()}
+    assert got[0] == f"Keep Me {run} Tail"
+    assert got[1] == "x y"
