@@ -877,6 +877,69 @@ def train_bpe_merges(texts, n_merges: int = 24) -> list[tuple[str, str]]:
     return merges
 
 
+def train_bpe_merges_spark(
+    docs: DataFrame,
+    n_merges: int = 24,
+    *,
+    text: str = "text",
+    max_vocab: int = 1 << 20,
+) -> list[tuple[str, str]]:
+    """The 100-TB form of ``train_bpe_merges``: BPE training needs only the
+    WORD-FREQUENCY table, never the corpus — so the distributed part is one
+    word-keyed count aggregation (map-side combine collapses every repeated
+    word before the shuffle) and the merge loop itself runs driver-side on
+    the counted vocabulary, exactly like the local trainer (ties break to
+    the lexicographically smallest pair — deterministic for a given corpus
+    on any partitioning).
+
+    ``max_vocab`` bounds driver memory: only the most frequent distinct
+    words are kept (count desc, word asc — a deterministic truncation; real
+    tokenizer pipelines do the same). At the default 2^20 the collected
+    table is a few tens of MB; pair statistics over the tail it drops are
+    negligible by construction (each dropped word is rarer than every kept
+    one).
+
+    Equivalence with the local trainer on an untruncated vocabulary is
+    pytest-pinned (tests/test_bpe.py)."""
+    tx = norm_text(F.coalesce(F.col(text), F.lit("")))
+    counts = (
+        docs.select(F.explode(F.split(tx, " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(max_vocab)
+        .collect()
+    )
+    from collections import Counter
+
+    words: Counter = Counter({tuple(r["w"]): int(r["c"]) for r in counts})
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for toks, c in words.items():
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new: Counter = Counter()
+        for toks, c in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == best[0] and toks[i + 1] == best[1]:
+                    out.append(toks[i] + toks[i + 1])
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new[tuple(out)] += c
+        words = new
+    return merges
+
+
 def bpe_token_col(text_col, merges: list[tuple[str, str]] | None = None):
     """Normalized text column → BPE-delimited column: every token is
     followed by one BPE_SEP, words separated by spaces ('scan ab' →

@@ -113,3 +113,20 @@ def test_pack_plan_over_bpe_counts(spark):
     assert rows and all(r["n_tokens"] == counts[r["doc_id"]] for r in rows)
     default_rows = {r["doc_id"]: r["n_tokens"] for r in pack_plan(docs, budget=64).collect()}
     assert any(default_rows[r["doc_id"]] != r["n_tokens"] for r in rows)
+
+
+def test_distributed_trainer_matches_local(spark):
+    """train_bpe_merges_spark ≡ the local trainer on the fixture corpus
+    (untruncated vocab), and reproduces the committed table — the scale
+    path and the vocab file agree."""
+    from ocr_machine_spark.operators.textstats import train_bpe_merges_spark
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = train_bpe_merges_spark(docs, 24)
+    assert got == BPE_MERGES
+    # truncation determinism: a vocab cap that still covers every word
+    # changes nothing; a tiny cap still returns a deterministic table
+    assert train_bpe_merges_spark(docs, 24, max_vocab=10**6) == BPE_MERGES
+    tiny = train_bpe_merges_spark(docs, 5, max_vocab=20)
+    assert tiny == train_bpe_merges_spark(docs, 5, max_vocab=20)
+    assert len(tiny) == 5
