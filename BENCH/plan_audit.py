@@ -136,7 +136,12 @@ def main() -> None:
         F.concat(F.lit("<urlset><url><loc>https://"), F.col("host"),
                  F.lit("/new/1</loc></url></urlset>")).alias("xml"),
     )
-    fr = build_frontier(pages, robots=robots, sitemaps=sitemaps, old_pages=old)
+    # checkpoint_candidates=False: show the full lazy plan (the production
+    # barrier would hide the candidate branch behind a checkpoint scan)
+    fr = build_frontier(
+        pages, robots=robots, sitemaps=sitemaps, old_pages=old,
+        checkpoint_candidates=False,
+    )
     parts.append(
         "\n## frontier (jobs.py --job frontier)\n\n"
         "_scheduler feed: per-host model tables (rules/delays/ranks) are "

@@ -204,6 +204,15 @@ def train_linear(
             )
         )
         rows = {(r["kind"], r["pos"]): (r["a"], r["n"]) for r in st.collect()}
+        # a corpus too small to populate both splits must fail loudly here,
+        # not as a KeyError mid-loop (the md5 split needs a few dozen rows
+        # before both train and val are guaranteed non-empty)
+        if ("gb", -1) not in rows or ("mv", -1) not in rows:
+            missing = "train" if ("gb", -1) not in rows else "val"
+            raise ValueError(
+                f"train_linear: the {missing} split is empty — the input has "
+                "too few valid rows for the hash split"
+            )
         history.append((int(rows[("mv", -1)][0]), t))
         if t == epochs:
             break

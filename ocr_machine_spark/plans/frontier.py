@@ -52,8 +52,13 @@ def build_frontier(
     old_pages: DataFrame | None = None,
     n_iters: int = 5,
     partitions: int | None = None,
+    checkpoint_candidates: bool = True,
 ) -> DataFrame:
-    """Compose the scheduler feed as ONE DataFrame plan (pure function)."""
+    """Compose the scheduler feed as ONE DataFrame plan.
+
+    ``checkpoint_candidates=False`` keeps the plan fully lazy (the
+    plan-audit mode — shows the url-keyed shuffles the barrier would
+    otherwise hide behind a checkpoint scan)."""
     if old_pages is not None:
         fp = lambda df: df.select("url", F.md5(F.col("html")).alias("fp"))  # noqa: E731
         cand = snapshot_diff(fp(old_pages), fp(pages)).select(
@@ -74,6 +79,13 @@ def build_frontier(
             "freshness", F.lit("discovered")
         )
         cand = cand.unionByName(discovered)
+
+    # materialize the candidate set ONCE: it feeds both the robots gate and
+    # the final assembly join, and without a barrier each consumer would
+    # re-run the snapshot diff (re-scan + re-md5 both snapshots — the
+    # dominant cost at 100 TB; same rationale as jobs.py --diff-against)
+    if checkpoint_candidates:
+        cand = cand.localCheckpoint(eager=True)
 
     if robots is not None:
         gate = robots_check(cand.select("url"), robots_rules(robots))

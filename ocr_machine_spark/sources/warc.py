@@ -382,8 +382,14 @@ def fetch_record_at(path: str, offset: int, length: int) -> dict | None:
     Raises ValueError for truncated ranges / corrupt members (the module's
     taxonomy), with the same per-member inflation cap as ingest."""
     with open(path, "rb") as f:
-        f.seek(offset)
-        blob = f.read(length)
+        return _parse_span(f, path, offset, length)
+
+
+def _parse_span(f, path: str, offset: int, length: int) -> dict | None:
+    """Range-read + parse one record from an already-open file handle —
+    the per-file batch path of fetch_by_url (one open per file per batch)."""
+    f.seek(offset)
+    blob = f.read(length)
     if len(blob) != length:
         raise ValueError(
             f"truncated range read at {path}:{offset}+{length} (got {len(blob)})"
@@ -453,23 +459,31 @@ def fetch_by_url(spark, cdx, warc_dir: str, urls=None):
             rows = batch.to_pylist()
             rows.sort(key=lambda r: (r["file"], r["offset"]))
             out: list[dict] = []
-            for r in rows:
-                rec = fetch_record_at(
-                    os.path.join(warc_dir, r["file"]), r["offset"], r["length"]
-                )
-                if rec is None:
-                    continue
-                out.append(
-                    {
-                        "url": rec["url"],
-                        "status": rec["status"],
-                        "mime": rec["mime"],
-                        "html": rec["html"],
-                    }
-                )
-                if len(out) >= 256:
-                    yield pa.RecordBatch.from_pylist(out, schema=out_pa)
-                    out = []
+            fh, fh_name = None, None
+            try:
+                for r in rows:
+                    if r["file"] != fh_name:
+                        if fh is not None:
+                            fh.close()
+                        fh_name = r["file"]
+                        fh = open(os.path.join(warc_dir, fh_name), "rb")
+                    rec = _parse_span(fh, fh_name, r["offset"], r["length"])
+                    if rec is None:
+                        continue
+                    out.append(
+                        {
+                            "url": rec["url"],
+                            "status": rec["status"],
+                            "mime": rec["mime"],
+                            "html": rec["html"],
+                        }
+                    )
+                    if len(out) >= 256:
+                        yield pa.RecordBatch.from_pylist(out, schema=out_pa)
+                        out = []
+            finally:
+                if fh is not None:
+                    fh.close()
             if out:
                 yield pa.RecordBatch.from_pylist(out, schema=out_pa)
 

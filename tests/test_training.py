@@ -148,3 +148,15 @@ def test_train_cli_end_to_end(spark, tmp_path):
     assert sorted(map(tuple, re_scored.collect())) == sorted(
         map(tuple, scores.collect())
     )
+
+
+def test_train_empty_split_fails_loudly(spark):
+    """A corpus too small to populate both hash splits must raise a clear
+    ValueError, not a KeyError mid-loop."""
+    emb = spark.createDataFrame(
+        [(0, [0.1] * 64, 1)], "vec_id long, embedding array<float>, label int"
+    )
+    from ocr_machine_spark.operators.training import train_linear
+
+    with pytest.raises(ValueError, match="split is empty"):
+        train_linear(emb, dim=64, epochs=1)
