@@ -2012,7 +2012,9 @@ def _bpe_delim_sql(tx_expr: str) -> str:
     s = f"regexp_replace(replace({tx_expr}, chr(1), ''), '([^ ])', '\\1' || chr(1), 'g')"
     for a, b in T.BPE_MERGES:
         qa, qb = a.replace("'", "''"), b.replace("'", "''")
-        s = f"replace({s}, '{qa}' || chr(1) || '{qb}', '{qa}{qb}')"
+        # TERMINATED pattern a␁b␁ → ab␁ (matches the operator: without the
+        # trailing separator the chain merges across token boundaries)
+        s = f"replace({s}, '{qa}' || chr(1) || '{qb}' || chr(1), '{qa}{qb}' || chr(1))"
     return s
 
 

@@ -366,8 +366,13 @@ def resolve_href(base_url: str, href: str) -> str | None:
     if hm:
         # RFC 3986 §3.1: schemes are case-insensitive — 'HTTP://host/x' is a
         # valid crawlable link. Compare the scheme lowercased but keep the
-        # href itself verbatim (canonicalization happens downstream).
-        return href if hm.group(0).lower() in ("http:", "https:") else None
+        # href itself verbatim (canonicalization happens downstream). The
+        # '//' authority is still required: 'https:foo.html' (an authoring
+        # typo browsers resolve relatively) has no host and would feed
+        # empty-host junk into the link graph.
+        if hm.group(0).lower() in ("http:", "https:") and href[hm.end():hm.end() + 2] == "//":
+            return href
+        return None
     if href.startswith("//"):
         return f"{scheme}{href}"
     if href.startswith("/"):

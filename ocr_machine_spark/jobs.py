@@ -352,7 +352,14 @@ def main(argv: list[str] | None = None) -> None:
 
         from ocr_machine_spark.operators.urls import snapshot_diff
 
-        fp = lambda df: df.select("url", F.md5(F.col("html")).alias("fp"))  # noqa: E731
+        # one fp row per url (min-md5 representative): duplicate urls in a
+        # snapshot (WARC recrawl records) would otherwise fan out through
+        # the full-outer join and skew the diff histogram
+        fp = lambda df: (  # noqa: E731
+            df.select("url", F.md5(F.col("html")).alias("fp"))
+            .groupBy("url")
+            .agg(F.min("fp").alias("fp"))
+        )
         old_pages = spark.read.parquet(args.diff_against)
         # materialize the diff ONCE: three consumers follow (the histogram
         # collect, the semi-join inside the extraction write, and lineage's

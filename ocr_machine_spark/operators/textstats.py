@@ -819,14 +819,16 @@ def span_dedup(
 
 # Committed merge table, trained by construction from the sf0.001 documents
 # corpus with train_bpe_merges(n_merges=24) — the tokenizer's "vocab file"
-# (tests pin committed == retrained). The fixture corpus is pure ASCII, so
-# characters ≡ UTF-8 bytes and the char-granular alphabet IS byte-level.
+# (tests pin committed == retrained). Chain-safe by training (see
+# _run_merge_loop / validate_merges_for_chain: one unsafe pair displaced).
+# The fixture corpus is pure ASCII, so characters ≡ UTF-8 bytes and the
+# char-granular alphabet IS byte-level.
 BPE_MERGES: list[tuple[str, str]] = [
     ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("l", "u"),
     ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"),
     ("s", "can"), ("c", "o"), ("co", "lu"), ("colu", "m"), ("colum", "n"),
-    ("d", "ow"), ("in", "dow"), ("w", "indow"), ("d", "er"), ("or", "der"),
-    ("or", "t"), ("s", "ort"),
+    ("d", "ow"), ("in", "dow"), ("d", "er"), ("or", "der"), ("or", "t"),
+    ("s", "ort"), ("par", "t"),
 ]
 
 # token separator inside a word: U+0001 never occurs in normalized corpus
@@ -834,24 +836,24 @@ BPE_MERGES: list[tuple[str, str]] = [
 BPE_SEP = "\x01"
 
 
-def train_bpe_merges(texts, n_merges: int = 24) -> list[tuple[str, str]]:
-    """Standard BPE training (Sennrich et al. 2016 §3.2) over norm_text-
-    normalized, whitespace-pretokenized words: repeatedly merge the most
-    frequent adjacent token pair (ties → lexicographically smallest pair, so
-    the table is deterministic for a given corpus). Driver-side by design —
-    this derives the committed BPE_MERGES constant from the fixture corpus,
-    the way a production pipeline ships a trained vocab file; the DISTRIBUTED
-    form would fold pair counts with one groupBy per merge (the ivf_train
-    shape) but a 24-entry table does not need a cluster."""
-    import re
+def _run_merge_loop(words, n_merges: int, *, chain_safe: bool = True) -> list[tuple[str, str]]:
+    """The BPE training loop proper, over a word-frequency Counter keyed by
+    token tuples: repeatedly merge the most frequent adjacent pair (ties →
+    lexicographically smallest pair — deterministic). Shared by the local
+    and the distributed trainer so the two can never diverge (their only
+    difference is how the Counter is built).
+
+    ``chain_safe`` (default, the engine's tokenizer contract): skip any
+    candidate pair whose LEFT part is a proper suffix of an existing merge
+    output — the one table shape the replace-chain application cannot
+    apply exactly (see validate_merges_for_chain; on the fixture corpus
+    the constraint displaces exactly one of 24 merges). The affected pairs
+    are rare by construction: picking them would require a frequent pair
+    whose left token is simultaneously the tail of another frequent merge."""
     from collections import Counter
 
-    words: Counter = Counter()
-    for t in texts:
-        n = re.sub(r"\s+", " ", (t or "").lower()).strip()
-        if n:
-            words.update(tuple(w) for w in n.split(" "))
     merges: list[tuple[str, str]] = []
+    outputs: list[str] = []
     for _ in range(n_merges):
         pairs: Counter = Counter()
         for toks, c in words.items():
@@ -859,8 +861,16 @@ def train_bpe_merges(texts, n_merges: int = 24) -> list[tuple[str, str]]:
                 pairs[(toks[i], toks[i + 1])] += c
         if not pairs:
             break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        best = None
+        for (a, b), _c in sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0])):
+            if chain_safe and any(t != a and t.endswith(a) for t in outputs):
+                continue
+            best = (a, b)
+            break
+        if best is None:
+            break
         merges.append(best)
+        outputs.append(best[0] + best[1])
         new: Counter = Counter()
         for toks, c in words.items():
             out: list[str] = []
@@ -875,6 +885,50 @@ def train_bpe_merges(texts, n_merges: int = 24) -> list[tuple[str, str]]:
             new[tuple(out)] += c
         words = new
     return merges
+
+
+def train_bpe_merges(texts, n_merges: int = 24) -> list[tuple[str, str]]:
+    """Standard BPE training (Sennrich et al. 2016 §3.2) over norm_text-
+    normalized, whitespace-pretokenized words. Driver-side by design —
+    this derives the committed BPE_MERGES constant from the fixture corpus,
+    the way a production pipeline ships a trained vocab file; see
+    ``train_bpe_merges_spark`` for the distributed word-count front end."""
+    import re
+    from collections import Counter
+
+    words: Counter = Counter()
+    for t in texts:
+        n = re.sub(r"\s+", " ", (t or "").lower()).strip()
+        if n:
+            words.update(tuple(w) for w in n.split(" "))
+    return _run_merge_loop(words, n_merges)
+
+
+def validate_merges_for_chain(merges: list[tuple[str, str]]) -> None:
+    """Reject a merge table the replace-chain application cannot apply
+    EXACTLY. The chain matches ``a␁b␁`` → ``ab␁``: the trailing separator
+    anchors the RIGHT side (b must be a complete token), but the left side
+    is unanchored — if some other token ``xa`` (a proper supersuffix of
+    ``a``) can exist when merge (a, b) applies, the pattern would also
+    match inside ``xa␁b␁`` and merge a suffix of ``xa`` (the reference
+    encoder checks whole-token pairs and would not). A table is chain-safe
+    iff no token derivable BEFORE merge i (alphabet chars or an earlier
+    merge's output) ends with merge i's left part, other than that part
+    itself. Single chars can't collide with the (single-char) alphabet, so
+    only earlier merge OUTPUTS need checking. Legitimately trained tables
+    essentially always satisfy this (the committed one provably does — a
+    pytest pins it); a hand-built table that does not must fail loudly
+    here, never tokenize wrong."""
+    outputs: list[str] = []
+    for i, (a, b) in enumerate(merges):
+        bad = [t for t in outputs if t != a and t.endswith(a)]
+        if bad:
+            raise ValueError(
+                f"merge table is not replace-chain-safe: merge {i} ({a!r},{b!r}) "
+                f"— earlier token(s) {bad} end with {a!r}; the chain would "
+                "merge inside them"
+            )
+        outputs.append(a + b)
 
 
 def train_bpe_merges_spark(
@@ -914,30 +968,7 @@ def train_bpe_merges_spark(
     from collections import Counter
 
     words: Counter = Counter({tuple(r["w"]): int(r["c"]) for r in counts})
-    merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pairs: Counter = Counter()
-        for toks, c in words.items():
-            for i in range(len(toks) - 1):
-                pairs[(toks[i], toks[i + 1])] += c
-        if not pairs:
-            break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        merges.append(best)
-        new: Counter = Counter()
-        for toks, c in words.items():
-            out: list[str] = []
-            i = 0
-            while i < len(toks):
-                if i + 1 < len(toks) and toks[i] == best[0] and toks[i + 1] == best[1]:
-                    out.append(toks[i] + toks[i + 1])
-                    i += 2
-                else:
-                    out.append(toks[i])
-                    i += 1
-            new[tuple(out)] += c
-        words = new
-    return merges
+    return _run_merge_loop(words, n_merges)
 
 
 def bpe_token_col(text_col, merges: list[tuple[str, str]] | None = None):
@@ -952,12 +983,19 @@ def bpe_token_col(text_col, merges: list[tuple[str, str]] | None = None):
     repeat-min-rank-pair loop, because (a) a pair involving a merge's
     output token always has a HIGHER rank than the merge that created the
     token (training counted it only after the token existed), and (b)
-    replacing a␁b with ab can never create a new a␁b occurrence (the
-    output token differs from both inputs). Property-tested against the
-    reference min-rank encoder in tests/test_bpe.py.
+    replacing a␁b␁ with ab␁ can never create a new occurrence of the same
+    pattern. The pattern is TERMINATED (``a␁b␁``, not ``a␁b``): without
+    the trailing separator it would match any next token merely STARTING
+    with b and merge across the token boundary (review round 6 — 689/200k
+    random words mismatched). The left side is validated instead of
+    anchored (a leading separator would break adjacent-run merging:
+    continue-after scanning consumes the shared boundary) — see
+    ``validate_merges_for_chain``. Property-tested against the reference
+    min-rank encoder in tests/test_bpe.py incl. 200k random words.
     """
     if merges is None:
         merges = BPE_MERGES
+    validate_merges_for_chain(merges)
     # strip stray separators, then delimit: every non-space char gets one
     # trailing SEP (capture-group replacement — RE2 and Java agree; no
     # lookarounds, which RE2 lacks)
@@ -967,7 +1005,7 @@ def bpe_token_col(text_col, merges: list[tuple[str, str]] | None = None):
         "$1" + BPE_SEP,
     )
     for a, b in merges:
-        s = F.replace(s, F.lit(a + BPE_SEP + b), F.lit(a + b))
+        s = F.replace(s, F.lit(a + BPE_SEP + b + BPE_SEP), F.lit(a + b + BPE_SEP))
     return s
 
 

@@ -60,7 +60,15 @@ def build_frontier(
     plan-audit mode — shows the url-keyed shuffles the barrier would
     otherwise hide behind a checkpoint scan)."""
     if old_pages is not None:
-        fp = lambda df: df.select("url", F.md5(F.col("html")).alias("fp"))  # noqa: E731
+        # one fingerprint row PER URL: crawl snapshots routinely carry the
+        # same url twice (WARC recrawl records) and snapshot_diff's
+        # full-outer join would fan duplicates out into N² scheduler rows;
+        # min(md5) is the deterministic representative
+        fp = lambda df: (  # noqa: E731
+            df.select("url", F.md5(F.col("html")).alias("fp"))
+            .groupBy("url")
+            .agg(F.min("fp").alias("fp"))
+        )
         cand = snapshot_diff(fp(old_pages), fp(pages)).select(
             "url", F.col("change").alias("freshness")
         )

@@ -410,9 +410,14 @@ def _parse_span(f, path: str, offset: int, length: int) -> dict | None:
     # frame the record with the normal parser: spans include the trailing
     # record CRLFs (both layouts), which _iter_plain trims by Content-Length
     # — handing the untrimmed blob straight to _parse_response would leak
-    # those 4 bytes into the body
-    _, _, rec = next(iter(_iter_plain(raw)))
-    return _parse_response(rec)
+    # those 4 bytes into the body. Default-guarded next(): a span that
+    # frames to zero records (length-0 CDX row, empty inflated member) must
+    # raise the module's ValueError, not StopIteration — PEP 479 would turn
+    # that into an opaque RuntimeError inside fetch_by_url's Arrow generator
+    first = next(iter(_iter_plain(raw)), None)
+    if first is None:
+        raise ValueError(f"empty record span at {path}:{offset}+{length}")
+    return _parse_response(first[2])
 
 
 def fetch_by_url(spark, cdx, warc_dir: str, urls=None):
@@ -443,7 +448,11 @@ def fetch_by_url(spark, cdx, warc_dir: str, urls=None):
             req = spark.createDataFrame([(u,) for u in urls], "url string")
         else:
             req = urls.select("url")
-        sel = cdx.join(F.broadcast(req.distinct()), "url", "left_semi")
+        # no broadcast hint: AQE broadcasts a small request set at runtime,
+        # but a forced hint is never demoted — a 10^8-row request DataFrame
+        # must degrade to a shuffled semi-join, not OOM the driver (the
+        # bm25_topk / robots_check policy)
+        sel = cdx.join(req.distinct(), "url", "left_semi")
 
     out_pa = pa.schema(
         [

@@ -130,3 +130,39 @@ def test_distributed_trainer_matches_local(spark):
     tiny = train_bpe_merges_spark(docs, 5, max_vocab=20)
     assert tiny == train_bpe_merges_spark(docs, 5, max_vocab=20)
     assert len(tiny) == 5
+
+
+def test_chained_replace_random_words_property(spark):
+    """Review-round regression: the UNTERMINATED pattern a␁b merged across
+    token boundaries (matched a next token merely starting with b —
+    689/200k random words wrong, e.g. 'acor' → [a,cor] instead of
+    [a,c,or]). The terminated chain must match the reference encoder on
+    random words from the merge alphabet, including the counterexamples."""
+    import random
+
+    alpha = "erinowstlucampd"
+    rng = random.Random(1)
+    words = ["acor", "decorm", "columerge"] + [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 14)))
+        for _ in range(4000)
+    ]
+    docs = spark.createDataFrame(list(enumerate(words)), "doc_id long, text string")
+    got = {r["doc_id"]: r["bpe_text"] for r in bpe_tokens(docs).collect()}
+    for i, w in enumerate(words):
+        assert got[i] == _reference_delimited(w), w
+
+
+def test_merge_table_chain_safety_validator():
+    """validate_merges_for_chain: the committed table is provably
+    chain-safe (no earlier token ends with a later merge's left part);
+    a violating hand-built table must be rejected, because the chain
+    WOULD merge inside the supersuffix token."""
+    import pytest
+
+    from ocr_machine_spark.operators.textstats import validate_merges_for_chain
+
+    validate_merges_for_chain(BPE_MERGES)  # must not raise
+    # ('x','a') creates token 'xa' ending with 'a'; a later ('a','b') merge
+    # pattern a␁b␁ would match inside 'xa␁b␁'
+    with pytest.raises(ValueError, match="not replace-chain-safe"):
+        validate_merges_for_chain([("x", "a"), ("a", "b")])

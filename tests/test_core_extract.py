@@ -316,6 +316,10 @@ def test_resolve_href_spec():
     assert resolve_href(base, "HTTP://a.com/UP") == "HTTP://a.com/UP"
     assert resolve_href(base, "Https://a.com/x") == "Https://a.com/x"
     assert resolve_href(base, "MAILTO:x@y.com") is None
+    # ...but the authority is still required: scheme-only hrefs (an authoring
+    # typo) have no host and must not enter the link graph
+    assert resolve_href(base, "https:foo.html") is None
+    assert resolve_href(base, "HTTP:/one-slash") is None
     # fragment-only / empty → dropped
     assert resolve_href(base, "#top") is None
     assert resolve_href(base, "") is None
