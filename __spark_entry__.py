@@ -545,6 +545,21 @@ def _doc_bpe_tokens(spark, sf_dir):
     return T.bpe_tokens(_t(spark, sf_dir, "documents"))
 
 
+def _doc_bpe_token_ids(spark, sf_dir):
+    """Subword IDS (operators.textstats.bpe_token_ids) — byte values for
+    single-char tokens, 256+rank for merge outputs. The gate hashes every
+    id in document order (space-joined string — hash-stable across
+    engines); the twin replays the chain and the same CASE mapping."""
+    from ocr_machine_spark.operators.textstats import bpe_token_ids
+
+    out = bpe_token_ids(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.array_join(F.transform("ids", lambda x: x.cast("string")), " ").alias("ids_str"),
+    )
+
+
 def _doc_pack_plan(spark, sf_dir):
     """Concat-and-chop training-sequence packing at budget 64, binned on
     REAL subword tokens (bpe_token_count over the committed merge table —
@@ -1944,6 +1959,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6: CDX consumer — fetch-by-url through the index back to
         # archive bytes (the warc family keeps ingest+cdx driver-gated)
         "warc_fetch_by_url": _warc_fetch_by_url,
+        # round-6: subword IDS (the loader's input; the tokenizer family
+        # keeps doc_bpe_tokens driver-gated on the full token stream)
+        "doc_bpe_token_ids": _doc_bpe_token_ids,
         "filter_pushdown_scan": _filter_pushdown_scan,
         "semi_join_customers": _semi_join_customers,
         "broadcast_brand_agg": _broadcast_brand_agg,
@@ -2016,6 +2034,35 @@ def _bpe_delim_sql(tx_expr: str) -> str:
         # trailing separator the chain merges across token boundaries)
         s = f"replace({s}, '{qa}' || chr(1) || '{qb}' || chr(1), '{qa}{qb}' || chr(1))"
     return s
+
+
+def _bpe_ids_sql() -> str:
+    """Twin of doc_bpe_token_ids: replay the chain, split the stream on
+    chr(1) (spaces removed first), map each token — ascii() for single
+    chars, a generated CASE chain for merge outputs (the same 256+rank
+    vocab as operators.textstats.bpe_vocab)."""
+    whens = " ".join(
+        f"WHEN '{(a + b).replace(chr(39), chr(39) * 2)}' THEN {256 + i}"
+        for i, (a, b) in enumerate(T.BPE_MERGES)
+    )
+    return f"""
+WITH b AS (SELECT doc_id, {_norm("coalesce(text, '')")} AS tx FROM documents),
+s AS (SELECT doc_id, {_bpe_delim_sql('tx')} AS s FROM b),
+t AS (
+  SELECT doc_id,
+         (string_split(replace(s, ' ', ''), chr(1)))[1:-2] AS toks
+  FROM s
+),
+i AS (
+  SELECT doc_id,
+         list_transform(toks, t -> CAST(CASE WHEN length(t) = 1 THEN ascii(t)
+                                             ELSE (CASE t {whens} END) END AS INTEGER)) AS ids
+  FROM t
+)
+SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_bpe_tokens,
+       array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ' ') AS ids_str
+FROM i
+"""
 
 
 def _repetition_sql(src: str) -> str:
@@ -2938,6 +2985,8 @@ FROM events GROUP BY 1, 2
         # trained classifier: gradient-descent epochs unrolled as CTEs,
         # exact fixed-point folds — certifies the full training trajectory
         "model_train_eval": _train_eval_oracle_sql(),
+        # subword ids: chain replay + generated CASE vocab mapping
+        "doc_bpe_token_ids": _bpe_ids_sql(),
         **_golden_oracles(),
     }
 

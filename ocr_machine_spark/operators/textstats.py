@@ -1032,6 +1032,51 @@ def bpe_tokens(docs: DataFrame, merges: list[tuple[str, str]] | None = None,
     )
 
 
+def bpe_vocab(merges: list[tuple[str, str]] | None = None) -> dict[str, int]:
+    """Token → id map (GPT-2's scheme): byte values 0-255 are the base
+    alphabet, merge outputs take 256+rank. Only multi-char entries are
+    listed (single-char tokens ARE their byte value); the fixture corpus is
+    ASCII so char ids ≡ byte ids — a full byte-level base would remap
+    multi-byte chars upstream (documented boundary, same as bpe_tokens)."""
+    if merges is None:
+        merges = BPE_MERGES
+    return {a + b: 256 + i for i, (a, b) in enumerate(merges)}
+
+
+def bpe_token_ids(docs: DataFrame, merges: list[tuple[str, str]] | None = None,
+                  text: str = "text") -> DataFrame:
+    """Per-document subword IDS — what a training loader actually consumes:
+    (doc_id, n_bpe_tokens, ids array<int>) with ids in document order
+    (word boundaries are not tokens — the whitespace pre-tokenizer's
+    convention). Pure JVM: the replace-chain stream splits on the
+    separator and each token maps via a tiny broadcast map literal
+    (merge outputs) or ``ascii()`` (single chars ≡ byte ids)."""
+    if merges is None:
+        merges = BPE_MERGES
+    tx = norm_text(F.coalesce(F.col(text), F.lit("")))
+    s = bpe_token_col(tx, merges)
+    # every token carries one trailing SEP; dropping spaces first makes the
+    # stream one SEP-terminated token list, so split yields tokens + one
+    # trailing '' element
+    toks = F.split(F.replace(s, F.lit(" "), F.lit("")), BPE_SEP)
+    toks = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    vocab = bpe_vocab(merges)
+    id_map = F.create_map(
+        *[F.lit(x) for kv in vocab.items() for x in kv]
+    )
+    ids = F.transform(
+        toks,
+        lambda t: F.when(F.length(t) == 1, F.ascii(t))
+        .otherwise(F.element_at(id_map, t))
+        .cast("int"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(ids).cast("long").alias("n_bpe_tokens"),
+        ids.alias("ids"),
+    )
+
+
 def bpe_token_count(text_col, merges: list[tuple[str, str]] | None = None):
     """BPE token count of a raw text column — the counter expression for
     pack_plan(counter=...): packing bins then measure REAL subword tokens,

@@ -166,3 +166,26 @@ def test_merge_table_chain_safety_validator():
     # pattern a␁b␁ would match inside 'xa␁b␁'
     with pytest.raises(ValueError, match="not replace-chain-safe"):
         validate_merges_for_chain([("x", "a"), ("a", "b")])
+
+
+def test_bpe_token_ids_roundtrip_and_reference(spark):
+    """bpe_token_ids: ids are the reference encoder's ids under the
+    256+rank vocab, and decoding them through the inverse vocab recovers
+    the normalized words exactly (lossless — what a loader needs)."""
+    from ocr_machine_spark.operators.textstats import bpe_token_ids, bpe_vocab
+
+    inv = {v: k for k, v in bpe_vocab().items()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    got = {r["doc_id"]: r for r in bpe_token_ids(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        tx = _norm(row["text"])
+        exp_ids = [
+            bpe_vocab().get(t, ord(t) if len(t) == 1 else None)
+            for w in (tx.split(" ") if tx else [])
+            for t in _reference_encode_word(w)
+        ]
+        g = got[row["doc_id"]]
+        assert list(g["ids"]) == exp_ids
+        assert g["n_bpe_tokens"] == len(exp_ids)
+        decoded = "".join(inv.get(i, chr(i) if i < 256 else "?") for i in g["ids"])
+        assert decoded == tx.replace(" ", "")
