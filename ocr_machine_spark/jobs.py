@@ -147,6 +147,14 @@ def main(argv: list[str] | None = None) -> None:
         "gain n_lines/n_lines_kept",
     )
     ap.add_argument(
+        "--dedup-near",
+        action="store_true",
+        help="curate only: fuzzy dedup AFTER the exact survivor stage — "
+        "MinHash-LSH candidate pairs at 0.8 Jaccard over the survivors, "
+        "large-star/small-star clusters, one survivor per cluster; the "
+        "decision table gains near_rep and stats gain docs_near_dropped",
+    )
+    ap.add_argument(
         "--dedup-spans",
         action="store_true",
         help="curate only: exact substring dedup (Lee et al. 2022) before "
@@ -176,6 +184,7 @@ def main(argv: list[str] | None = None) -> None:
         "extract": (
             ("--dedup-lines", args.dedup_lines, False),
             ("--dedup-spans", args.dedup_spans, False),
+            ("--dedup-near", args.dedup_near, False),
             ("--decontaminate", args.decontaminate, None),
             *crawl_inputs,
             *train_inputs,
@@ -186,6 +195,7 @@ def main(argv: list[str] | None = None) -> None:
             ("--output-table", args.output_table, None),
             ("--dedup-lines", args.dedup_lines, False),
             ("--dedup-spans", args.dedup_spans, False),
+            ("--dedup-near", args.dedup_near, False),
             ("--diff-against", args.diff_against, None),
             ("--decontaminate", args.decontaminate, None),
             *crawl_inputs,
@@ -195,6 +205,7 @@ def main(argv: list[str] | None = None) -> None:
             ("--output-table", args.output_table, None),
             ("--dedup-lines", args.dedup_lines, False),
             ("--dedup-spans", args.dedup_spans, False),
+            ("--dedup-near", args.dedup_near, False),
             ("--diff-against", args.diff_against, None),
             ("--decontaminate", args.decontaminate, None),
             *crawl_inputs,
@@ -213,6 +224,7 @@ def main(argv: list[str] | None = None) -> None:
             ("--output-table", args.output_table, None),
             ("--dedup-lines", args.dedup_lines, False),
             ("--dedup-spans", args.dedup_spans, False),
+            ("--dedup-near", args.dedup_near, False),
             ("--decontaminate", args.decontaminate, None),
             *train_inputs,
         ),
@@ -222,6 +234,7 @@ def main(argv: list[str] | None = None) -> None:
             ("--output-table", args.output_table, None),
             ("--dedup-lines", args.dedup_lines, False),
             ("--dedup-spans", args.dedup_spans, False),
+            ("--dedup-near", args.dedup_near, False),
             ("--diff-against", args.diff_against, None),
             ("--decontaminate", args.decontaminate, None),
             *crawl_inputs,
@@ -337,6 +350,7 @@ def main(argv: list[str] | None = None) -> None:
             run_id=args.run_id,
             dedup_lines=args.dedup_lines,
             dedup_spans=args.dedup_spans,
+            dedup_near=args.dedup_near,
             bench=bench,
         )
         print(json.dumps(stats))

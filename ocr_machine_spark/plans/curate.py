@@ -73,6 +73,8 @@ def curate_documents(
     *,
     dedup_lines: bool = False,
     dedup_spans: bool = False,
+    dedup_near: bool = False,
+    near_threshold: float = 0.8,
     bench: DataFrame | None = None,
     decon_k: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
@@ -95,6 +97,17 @@ def curate_documents(
     ``n_lines_kept``; documents whose every line was a duplicate flow on
     with empty text and fall to the quality gate (their audit row keeps
     them visible).
+
+    ``dedup_near=True`` appends FUZZY dedup after the exact survivor
+    stage: MinHash-LSH candidate pairs at ``near_threshold`` Jaccard over
+    the exact survivors, resolved to clusters by the large-star/small-star
+    engine, one survivor (min doc_id) per cluster. Exact dedup stays in
+    front — identical docs are guaranteed LSH candidates only when they
+    have ≥k words, so tiny exact dupes need the fp stage; near dedup then
+    prunes the boilerplate-variant copies exact hashing can never see.
+    The decision frame gains ``near_rep`` (NULL for docs that never
+    reached the near stage). Scale shape: banded LSH (no cross join) over
+    the post-quality survivor subset only, O(log n) CC rounds.
 
     ``bench`` (a frame with a ``text`` column) switches on train/test
     DECONTAMINATION (GPT-3 appendix-C style, the published pre-training
@@ -144,10 +157,28 @@ def curate_documents(
     d = d.join(keepers, "fp", "left").withColumn(
         "survivor", F.col("keep") & (F.col("doc_id") == F.col("keeper_doc_id"))
     ).drop("keeper_doc_id")
+    if dedup_near:
+        from ocr_machine_spark.operators.dedup import (
+            dedup_clusters_star,
+            minhash_dedup_pairs,
+        )
+
+        kept = docs.join(d.filter(F.col("survivor")).select("doc_id"), "doc_id")
+        pairs = minhash_dedup_pairs(kept, threshold=near_threshold)
+        clusters = dedup_clusters_star(kept.select("doc_id"), pairs).select(
+            "doc_id",
+            F.col("rep").alias("near_rep"),
+            F.col("keep").alias("near_keep"),
+        )
+        d = d.join(clusters, "doc_id", "left").withColumn(
+            "survivor", F.col("survivor") & F.coalesce(F.col("near_keep"), F.lit(True))
+        ).drop("near_keep")
     curated = docs.join(
         d.filter(F.col("survivor")).select("doc_id", "fp"), "doc_id"
     )
     audit_cols = ["doc_id", "n_words", "keep", "reasons", "fp", "survivor"]
+    if dedup_near:
+        audit_cols.append("near_rep")
     if bench is not None:
         audit_cols.append("contaminated")
     if dedup_lines:
@@ -167,6 +198,7 @@ def run_curation(
     run_id: str,
     dedup_lines: bool = False,
     dedup_spans: bool = False,
+    dedup_near: bool = False,
     bench: DataFrame | None = None,
 ) -> dict:
     """Write curated docs + decision audit table under ``out_dir``;
@@ -176,7 +208,11 @@ def run_curation(
     curated table and the stats both derive from the decisions parquet read
     back after the write, so the three outputs can never disagree."""
     _, decision = curate_documents(
-        docs, dedup_lines=dedup_lines, dedup_spans=dedup_spans, bench=bench
+        docs,
+        dedup_lines=dedup_lines,
+        dedup_spans=dedup_spans,
+        dedup_near=dedup_near,
+        bench=bench,
     )
     decision.write.mode("overwrite").parquet(f"{out_dir}/decisions")
     # read the audit table back and derive BOTH outputs from it — one
@@ -218,6 +254,12 @@ def run_curation(
         ).collect()[0]
         stats["lines_in"] = int(lc["li"] or 0)
         stats["lines_kept"] = int(lc["lk"] or 0)
+    if dedup_near:
+        stats["docs_near_dropped"] = int(
+            dec.filter(
+                F.col("near_rep").isNotNull() & (F.col("near_rep") != F.col("doc_id"))
+            ).count()
+        )
     if dedup_spans:
         sp = dec.agg(
             F.sum("n_span_words").alias("wi"), F.sum("n_span_kept").alias("wk")

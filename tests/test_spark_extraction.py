@@ -329,3 +329,41 @@ def test_span_dedup_preserve_case(spark):
            span_dedup(docs, min_len=8, preserve_case=True).collect()}
     assert got[0] == f"Keep Me {run} Tail"
     assert got[1] == "x y"
+
+
+def test_curation_dedup_near(spark, tmp_path):
+    """--dedup-near: MinHash-LSH + star clusters prune near-duplicate
+    variants exact hashing cannot see; exact dupes still collapse first;
+    the audit carries near_rep; stats reconcile and re-runs are
+    idempotent."""
+    from ocr_machine_spark.plans.curate import run_curation
+
+    filler = " ".join(f"w{i:03d}token"[:8] for i in range(40))
+    other = " ".join(f"z{i:03d}vocab"[:8] for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{filler} endingone", "a"),
+            (2, f"{filler} endingtwo", "a"),   # near-dup of 1 (1 word differs)
+            (3, f"{other} standalone", "a"),   # own cluster
+            (4, f"{filler} endingone", "a"),   # exact dup of 1
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "near")
+    s1 = run_curation(spark, docs, out, run_id="n1", dedup_near=True)
+    assert s1["docs_quality_kept"] == 4
+    assert s1["docs_curated"] == 2  # doc 1 (cluster min) + doc 3
+    assert s1["docs_near_dropped"] == 1  # doc 2 (doc 4 fell to the exact stage)
+    import pyspark.sql.functions as F
+
+    dec = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/decisions").collect()}
+    assert dec[1]["survivor"] and dec[1]["near_rep"] == 1
+    assert not dec[2]["survivor"] and dec[2]["near_rep"] == 1
+    assert dec[3]["survivor"] and dec[3]["near_rep"] == 3
+    assert not dec[4]["survivor"] and dec[4]["near_rep"] is None  # exact-pruned pre-near
+    curated = {r["doc_id"] for r in spark.read.parquet(f"{out}/curated").collect()}
+    assert curated == {1, 3}
+    s2 = run_curation(spark, docs, out, run_id="n2", dedup_near=True)
+    assert {k: v for k, v in s2.items() if k != "run_id"} == {
+        k: v for k, v in s1.items() if k != "run_id"
+    }
