@@ -50,6 +50,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan with restored parallelism for per-row-heavy consumers (r7, guide
+    §2.5 "input skew": one huge unsplittable file). The fixture tables are
+    single-row-group parquet files, so the scan is ONE task no matter the
+    split config and every downstream per-row stage (shingling, BPE chains,
+    SRP projections, quality gates) serializes onto one core — a fixture
+    artifact, not a production shape: a lake table at any real scale arrives
+    as many files/row groups and the scan is already ≥ cores-wide. The
+    round-robin repartition (deterministic under retry: Spark sorts before
+    repartitioning, SPARK-23207) is sized from defaultParallelism — cluster-
+    adaptive, not a local[32] constant — and costs one tiny exchange of the
+    raw rows, repaid many times over by the heavy projection above it. Use
+    for queries whose dominant cost is per-row compute on these small
+    tables; plain ``_t`` remains right for scan-light/count-pruned paths."""
+    df = _t(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _dec(col: str | F.Column) -> F.Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("decimal(18,2)")
@@ -416,14 +434,14 @@ def _doc_winnow_fingerprints(spark, sf_dir):
     """Winnowing (SIGMOD'03) — min-of-window k-gram fingerprints with the
     guaranteed-detection property for runs ≥ w+k-1 words; the deterministic
     complement to MinHash in the dedup ladder."""
-    return T.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)
+    return T.winnow_fingerprints(_tp(spark, sf_dir, "documents"), k=3, w=4)
 
 
 def _doc_passage_overlap(spark, sf_dir):
     """MOSS-style passage-overlap pairs from winnowing fingerprints, with
     the hot-fingerprint document-frequency cap active (max_df=50)."""
     return T.passage_overlap_pairs(
-        _t(spark, sf_dir, "documents"), k=3, w=4, min_shared=2, max_df=50
+        _tp(spark, sf_dir, "documents"), k=3, w=4, min_shared=2, max_df=50
     )
 
 
@@ -444,15 +462,20 @@ def _doc_quality_tiers(spark, sf_dir):
     from ocr_machine_spark.operators.ranking import ntile_global
 
     q = (
-        T.quality_score(_t(spark, sf_dir, "documents"))
-        .filter(F.col("quality_e4").isNotNull())
+        T.quality_score(_tp(spark, sf_dir, "documents"))
         .select("doc_id", "quality_e4")
         # global_index makes THREE passes over its input (quantile sketch,
         # bucket counts, final window); the quality projection is the
         # dominant per-row cost, so materialize the 16-byte/row result once
         # — same eager-barrier trade as ann_topk_lsh's candidate set, and
-        # global_index already runs two eager collects at build time anyway
+        # global_index already runs two eager collects at build time anyway.
+        # The NULL filter runs AFTER the checkpoint (r7): below it, the
+        # predicate is pushed under the Project and the whole stopword-HOF
+        # quality expression re-evaluates per row interpreted (measured
+        # 0.7s → 5.4s for the projection alone); above the materialized
+        # 16-byte rows it is a trivial column test with identical output.
         .localCheckpoint(eager=True)
+        .filter(F.col("quality_e4").isNotNull())
     )
     return (
         ntile_global(q, 5, ["quality_e4", "doc_id"])
@@ -473,7 +496,7 @@ def _doc_line_dedup(spark, sf_dir):
     twice (within-doc duplicate), a 5-variant shared footer (cross-doc
     boilerplate duplicated ~n/5 times)]. The hash certifies keeper choice,
     counts AND the reassembled text per document."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     raw = F.coalesce(F.col("text"), F.lit(""))
     head = F.array_join(F.slice(F.split(raw, " "), 1, REP_HEAD_WORDS), " ")
     footer = F.concat(
@@ -499,7 +522,7 @@ def _doc_span_dedup(spark, sf_dir):
     appended TWICE on doc_id%5==0 (a second, overlap-merging site). The
     hash certifies witness counting, first-site keeper choice, overlap
     merge, and the byte-exact reassembled text per document."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     raw = F.concat(
         F.coalesce(F.col("text"), F.lit("")),
         F.when(F.col("doc_id") % 3 != 2, F.lit(" " + SPAN_BOILER)).otherwise(F.lit("")),
@@ -568,9 +591,14 @@ def _doc_pack_plan(spark, sf_dir):
     docs are common — the hash certifies the per-shard prefix sums, token
     offsets and both bin ids (exact BIGINT arithmetic end to end)."""
     return T.pack_plan(
-        _t(spark, sf_dir, "documents"),
+        _tp(spark, sf_dir, "documents"),
         budget=64,
         counter=T.bpe_token_count(F.col("text")),
+        # cheap equivalent of "BPE count > 0" (see pack_plan docstring): a
+        # non-empty normalized text always tokenizes to ≥1 subword, so the
+        # zero-span exclusion never forces the 24-merge replace chain into
+        # an interpreted Filter predicate (r7: 6.9s → 0.9s at sf1.0)
+        occupies_span=norm_text(F.coalesce(F.col("text"), F.lit(""))) != "",
     )
 
 
@@ -648,7 +676,7 @@ def _dedup_exact_docs(spark, sf_dir):
 
 
 def _jaccard_pairs_3gram(spark, sf_dir):
-    return D.jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.2)
+    return D.jaccard_pairs(_tp(spark, sf_dir, "documents"), k=3, threshold=0.2)
 
 
 def _dedup_keep_list(spark, sf_dir):
@@ -659,34 +687,34 @@ def _dedup_keep_list(spark, sf_dir):
     adversarial chain components at 10^12 docs — so the driver gates the
     scale path; min-label propagation equivalence is pinned in
     tests/test_dedup_ops.py."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, k=3, threshold=0.2)
     return D.dedup_clusters_star(docs, pairs)
 
 
 def _minhash_lsh_pairs(spark, sf_dir):
-    return D.minhash_dedup_pairs(_t(spark, sf_dir, "documents"), k=3, n_hashes=32, bands=8, threshold=0.2)
+    return D.minhash_dedup_pairs(_tp(spark, sf_dir, "documents"), k=3, n_hashes=32, bands=8, threshold=0.2)
 
 
 def _simhash_near_pairs(spark, sf_dir):
     # materialize signatures once — the chunk-bucket self-join in
     # simhash_near_pairs would otherwise recompute the whole explode+vote
     # aggregate for both join sides. O(docs) rows of (id, long).
-    sig = D.simhash(_t(spark, sf_dir, "documents")).localCheckpoint(eager=True)
+    sig = D.simhash(_tp(spark, sf_dir, "documents")).localCheckpoint(eager=True)
     return D.simhash_near_pairs(sig, max_hamming=3)
 
 
 def _ann_cosine_topk(spark, sf_dir):
     # dim passed explicitly: skips the per-invocation first() dim-probe job
-    return S.cosine_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, dim=EMB_DIM)
+    return S.cosine_topk(_tp(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, dim=EMB_DIM)
 
 
 def _ann_lsh_topk(spark, sf_dir):
-    return S.ann_topk_lsh(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, dim=EMB_DIM)
+    return S.ann_topk_lsh(_tp(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, dim=EMB_DIM)
 
 
 def _ann_ivf_topk(spark, sf_dir):
-    return S.ann_topk_ivf(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, n_cells=16, n_probe=4)
+    return S.ann_topk_ivf(_tp(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, n_cells=16, n_probe=4)
 
 
 PQ_M, PQ_CODES, PQ_RERANK = 8, 16, 100
@@ -701,7 +729,7 @@ def _ann_pq_topk(spark, sf_dir):
     e4 BIGINT before aggregation; codebooks/LUT are data-derived and
     sequential-summed, so the DuckDB twin is bit-identical end-to-end."""
     return S.ann_topk_pq(
-        _t(spark, sf_dir, "embeddings"),
+        _tp(spark, sf_dir, "embeddings"),
         ANN_QUERY_IDS,
         k=10,
         m=PQ_M,
@@ -716,7 +744,7 @@ def _ivf_train_centroids(spark, sf_dir):
     iterative-algorithm class. Exact fixed-point statistics make the result
     partitioning-independent; the twin is a numpy golden (committed-fixture
     pattern) keyed by a corpus fingerprint the SQL computes itself."""
-    return S.ivf_train(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+    return S.ivf_train(_tp(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
 def _ann_ivf_trained_topk(spark, sf_dir):
@@ -724,14 +752,14 @@ def _ann_ivf_trained_topk(spark, sf_dir):
     search with the trained quantizer. The twin recovers the SAME means from
     the golden statistics inside SQL (exact-int division, identical doubles
     below 2^53) and replays assignment/probe/score with sequential dots."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     stats = S.ivf_train(emb, k=8, iters=2)
     cents = S.ivf_centroids_from_stats(stats.collect())
     return S.ann_topk_ivf(emb, ANN_QUERY_IDS, k=10, n_probe=4, centroids=cents)
 
 
 def _embedding_dup_pairs(spark, sf_dir):
-    return S.embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9, dim=EMB_DIM)
+    return S.embedding_dup_pairs(_tp(spark, sf_dir, "embeddings"), threshold=0.9, dim=EMB_DIM)
 
 
 def _json_props_agg(spark, sf_dir):

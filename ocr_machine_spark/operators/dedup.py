@@ -81,18 +81,35 @@ def jaccard_pairs(
     sizes = sh.groupBy(key).agg(F.count("*").alias("n"))
     a = sh.select(F.col(key).alias("a"), "s")
     b = sh.select(F.col(key).alias("b"), "s")
+    # Pair counting is the dominant stage: on a dense shared vocabulary the
+    # co-shingle pair set is ~O(sum_s df(s)^2) instances over almost as many
+    # DISTINCT (a,b) groups (multiplicity ≈ 1.1 measured at sf1.0 — 128M
+    # instances, 114M groups), so the default partial-aggregate-then-shuffle
+    # plan builds two multi-million-entry hash tables per task and spills
+    # (~270 MB/stage, ~570 s CPU total measured). Repartitioning the raw
+    # pair instances by (a, b) FIRST (guide §2.5 two-level-agg inverse:
+    # here the partial agg is the pathology, not the cure) moves the one
+    # unavoidable shuffle to the cheap narrow rows and lets both aggregate
+    # steps run post-exchange on ~|pairs|/P-entry tables that stay in
+    # memory. P scales with the cluster (defaultParallelism), not a local
+    # constant.
+    pair_parts = docs.sparkSession.sparkContext.defaultParallelism * 8
     inter = (
         a.join(b, "s")
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .repartition(pair_parts, "a", "b")
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )
     na = sizes.select(F.col(key).alias("a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col(key).alias("b"), F.col("n").alias("n_b"))
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    # sizes is O(docs) rows of two ints — broadcast both probes so the huge
+    # inter table is never shuffled again (guide §3.1)
     return (
-        inter.join(na, "a")
-        .join(nb, "b")
+        inter.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
         .withColumn("jaccard_e4", fixed_point(jac))
         .filter(jac >= F.lit(threshold))
         .select("a", "b", "inter", "jaccard_e4")
@@ -396,16 +413,33 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Candidate pairs by 16-bit chunk equality (4 chunks ⇒ any pair with
     Hamming ≤ 3 shares a chunk), verified by exact popcount.
 
-    First-match dedup instead of ``distinct``: a pair is emitted only at its
-    FIRST matching chunk (all earlier chunks must differ — checkable locally
-    because both full signatures ride the join row), so every pair appears
-    exactly once by construction and the wide-row distinct shuffle is gone.
-    On clustered corpora (many identical signatures) the 4-chunk multiplicity
-    made that shuffle the stage bottleneck (sf0.1: 1.5M candidate rows for
-    0.5M unique pairs); at 100 TB the same skew shape is the norm, not the
-    exception."""
-    chunks = sig.select(
-        "doc_id",
+    The pairing runs in SIGNATURE space, not document space (r7, guide §2.5
+    hot keys / §8 "decide with small rows"): near-dup corpora concentrate
+    thousands of documents onto identical signatures (sf1.0 fixture: one
+    2,525-doc cluster), and a doc-level chunk-bucket self-join re-derives
+    that cluster's quadratic candidate set once per chunk — 4×n² join
+    instances through one hot (chunk, value) reducer. Every decision here
+    is a pure function of the signature, so:
+
+    1. the chunk-bucket self-join runs over DISTINCT signatures (each
+       mega-cluster is ONE row; first-match chunk dedup — a pair is kept
+       only where all earlier chunks differ, locally checkable since both
+       signatures ride the row — keeps each signature pair exactly once
+       with no wide distinct shuffle), verified by exact popcount;
+    2. qualifying signature pairs expand back to document pairs through two
+       joins against the (doc_id, simhash) membership table — disjoint
+       clusters, so each unordered doc pair appears exactly once, ordered
+       with least/greatest;
+    3. identical-signature pairs (Hamming 0 — the dominant near-dup output)
+       never enter the join at all: they come from one membership self-join
+       on the signature value.
+
+    Output rows are identical to the doc-level formulation; only the
+    candidate volume changes (sf1.0: 30M+ hot-bucket join instances → 132k
+    signature-chunk rows)."""
+    members = sig.select("doc_id", "simhash")
+    sigs = members.select("simhash").distinct()
+    chunks = sigs.select(
         "simhash",
         F.explode(
             F.array(*[
@@ -413,9 +447,30 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
                 for c in range(4)
             ])
         ).alias("ch"),
-    ).select("doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
-    a = chunks.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "c", "v")
-    b = chunks.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), "c", "v")
+    ).select("simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    # Grid-salted self-join (guide §2.5 "salt the key"): a popular 16-bit
+    # chunk value still buckets thousands of DISTINCT signatures (sf1.0:
+    # max bucket 2,440 sigs → 6M of the 45M join instances in one key), and
+    # AQE's byte-based coalescing sees only the tiny chunk rows — it packed
+    # the whole O(n²)-compute join into 3 tasks. Each side gets a
+    # deterministic salt g(sig) = xxhash64(sig) mod G and is exploded G
+    # ways on the OTHER side's salt, so a signature pair meets exactly once
+    # — at (c, v, g(sa), g(sb)) — and a hot bucket splits into G² cells.
+    # The explicit repartition on the salted key (defaultParallelism-sized,
+    # cluster-adaptive) pins the parallelism AQE would coalesce away.
+    g = 8
+    dp = sig.sparkSession.sparkContext.defaultParallelism
+    grid = F.explode(F.array(*[F.lit(i) for i in range(g)]))
+    a = (
+        chunks.select(F.col("simhash").alias("sa"), "c", "v")
+        .withColumn("ga", F.pmod(F.xxhash64("sa"), F.lit(g)))
+        .withColumn("gb", grid)
+    )
+    b = (
+        chunks.select(F.col("simhash").alias("sb"), "c", "v")
+        .withColumn("gb", F.pmod(F.xxhash64("sb"), F.lit(g)))
+        .withColumn("ga", grid)
+    )
 
     def _chunk(col: str, c: int) -> F.Column:
         return F.shiftright(col, 16 * c).bitwiseAND(F.lit(0xFFFF))
@@ -428,10 +483,29 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
     # long, not int: result-type parity with the DuckDB twin's BIGINT cast
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
-    return (
-        a.join(b, ["c", "v"])
-        .filter((F.col("a") < F.col("b")) & first_match)
+    sig_pairs = (
+        a.repartition(dp, "c", "v", "ga", "gb")
+        .join(b.repartition(dp, "c", "v", "ga", "gb"), ["c", "v", "ga", "gb"])
+        .filter((F.col("sa") < F.col("sb")) & first_match)
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
+        .select("sa", "sb", "hamming")
     )
+    ma = members.select(F.col("simhash").alias("sa"), F.col("doc_id").alias("da"))
+    mb = members.select(F.col("simhash").alias("sb"), F.col("doc_id").alias("db"))
+    cross = (
+        sig_pairs.join(ma, "sa")
+        .join(mb, "sb")
+        .select(
+            F.least("da", "db").alias("a"),
+            F.greatest("da", "db").alias("b"),
+            "hamming",
+        )
+    )
+    within = (
+        members.select(F.col("simhash").alias("s"), F.col("doc_id").alias("a"))
+        .join(members.select(F.col("simhash").alias("s"), F.col("doc_id").alias("b")), "s")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(0).cast("long").alias("hamming"))
+    )
+    return cross.union(within)

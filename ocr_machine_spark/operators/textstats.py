@@ -1087,7 +1087,11 @@ def bpe_token_count(text_col, merges: list[tuple[str, str]] | None = None):
 
 
 def pack_plan(
-    docs: DataFrame, budget: int = 2048, part_col: str = "source", counter=None
+    docs: DataFrame,
+    budget: int = 2048,
+    part_col: str = "source",
+    counter=None,
+    occupies_span=None,
 ) -> DataFrame:
     """Training-sequence packing plan — GPT-style "concatenate and chop"
     (Brown et al. 2020 §2.3: documents are concatenated in order and split
@@ -1111,13 +1115,29 @@ def pack_plan(
 
     ``counter``: the per-document token-count expression — defaults to the
     whitespace token_count; pass ``bpe_token_count(F.col('text'))`` to pack
-    by REAL subword tokens (what a training loader actually bins on)."""
+    by REAL subword tokens (what a training loader actually bins on).
+
+    ``occupies_span``: optional CHEAP predicate equivalent to
+    ``counter > 0`` (r7, guide §6 "filters applied to derived columns do
+    not push down"): the zero-token exclusion spelled over the counter
+    column forces the optimizer to push the whole counter expression into
+    a Filter — for the BPE replace chain that is a 24-deep tree that falls
+    out of whole-stage codegen and re-evaluates interpreted per row
+    (measured 0.5s → 6.9s on the sf1.0 projection; under a pruning
+    ``count()`` the window is elided and the chain runs ONLY as that
+    interpreted predicate). A tokenizer emits ≥1 token exactly when the
+    normalized text is non-empty, so the caller can supply e.g.
+    ``norm_text(col) != ''`` — same surviving rows, and the predicate
+    pushes to the scan while the counter evaluates once in the projection.
+    Filtering BEFORE the window is value-identical either way: a
+    zero-token document adds 0 to every running sum."""
     t = counter if counter is not None else token_count(
         norm_text(F.coalesce(F.col("text"), F.lit("")))
     )
-    d = docs.select(
+    pred = occupies_span if occupies_span is not None else (t > 0)
+    d = docs.filter(pred).select(
         "doc_id", F.col(part_col).alias("part"), t.alias("n_tokens")
-    ).filter(F.col("n_tokens") > 0)
+    )
     w = (
         Window.partitionBy("part")
         .orderBy("doc_id")

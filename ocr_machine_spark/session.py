@@ -49,7 +49,13 @@ def get_spark(
         # a single shared sandbox disk would fake poor scaling
         .config("spark.local.dir", _local_dir())
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode heap: 32 concurrent tasks share ONE JVM, so the "driver"
+        # heap is really the whole cluster's executor memory — 8g gave each
+        # task ~125MB of execution memory and the wide-shuffle stages
+        # (jaccard pair counting) spilled ~0.5GB per stage (r7 measurement).
+        # 24g ≈ 20% of the sandbox's 128GiB; on a real cluster executors set
+        # spark.executor.memory instead and this knob stays driver-sized.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     b = b.master(master or f"local[{cpus}]")
     for k, v in (extra or {}).items():
