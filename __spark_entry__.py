@@ -744,7 +744,7 @@ def _ivf_train_centroids(spark, sf_dir):
     iterative-algorithm class. Exact fixed-point statistics make the result
     partitioning-independent; the twin is a numpy golden (committed-fixture
     pattern) keyed by a corpus fingerprint the SQL computes itself."""
-    return S.ivf_train(_tp(spark, sf_dir, "embeddings"), k=8, iters=2)
+    return S.ivf_train(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
 def _ann_ivf_trained_topk(spark, sf_dir):
@@ -752,14 +752,14 @@ def _ann_ivf_trained_topk(spark, sf_dir):
     search with the trained quantizer. The twin recovers the SAME means from
     the golden statistics inside SQL (exact-int division, identical doubles
     below 2^53) and replays assignment/probe/score with sequential dots."""
-    emb = _tp(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings")
     stats = S.ivf_train(emb, k=8, iters=2)
     cents = S.ivf_centroids_from_stats(stats.collect())
     return S.ann_topk_ivf(emb, ANN_QUERY_IDS, k=10, n_probe=4, centroids=cents)
 
 
 def _embedding_dup_pairs(spark, sf_dir):
-    return S.embedding_dup_pairs(_tp(spark, sf_dir, "embeddings"), threshold=0.9, dim=EMB_DIM)
+    return S.embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9, dim=EMB_DIM)
 
 
 def _json_props_agg(spark, sf_dir):

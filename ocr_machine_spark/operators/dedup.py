@@ -77,7 +77,18 @@ def jaccard_pairs(
                 "use minhash_dedup_pairs (LSH candidates + this verify) at scale, "
                 "or pass max_docs=None for a bounded candidate set."
             )
-    sh = shingle_rows(docs, k, key, text).cache()
+    # join on the 8-byte shingle hash, not the shingle string (guide §2.3
+    # "narrower types"; same 64-bit reduction minhash_signatures already
+    # applies to shingles): the string key made the self-join sort/compare
+    # variable-length text — measured 17.5s → 10.7s with long keys + hash
+    # join at sf1.0. Hashing happens AFTER the per-doc string distinct, so
+    # set sizes are exact; a cross-doc xxhash64 collision (~|shingles|²/2⁶⁵)
+    # is the same accepted class as every other xxhash64 key in the engine.
+    sh = (
+        shingle_rows(docs, k, key, text)
+        .select(F.col(key), F.xxhash64("s").alias("s"))
+        .cache()
+    )
     sizes = sh.groupBy(key).agg(F.count("*").alias("n"))
     a = sh.select(F.col(key).alias("a"), "s")
     b = sh.select(F.col(key).alias("b"), "s")
@@ -187,7 +198,13 @@ def minhash_dedup_pairs(
         eager=True
     )
     cand = lsh_candidate_pairs(sig, bands=bands, rows_per_band=rows_per_band, key=key)
-    sh = shingle_rows(docs, k, key, text).cache()
+    # hashed shingle keys for the verify joins (see jaccard_pairs: same
+    # post-distinct 64-bit reduction the signature stage already applies)
+    sh = (
+        shingle_rows(docs, k, key, text)
+        .select(F.col(key), F.xxhash64("s").alias("s"))
+        .cache()
+    )
     sizes = sh.groupBy(key).agg(F.count("*").alias("n"))
     # candidate-restricted intersection: attach a's shingles, then equi-join
     # on (b, shingle) — no per-pair cross product

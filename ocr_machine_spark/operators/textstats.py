@@ -1064,10 +1064,16 @@ def bpe_token_ids(docs: DataFrame, merges: list[tuple[str, str]] | None = None,
     id_map = F.create_map(
         *[F.lit(x) for kv in vocab.items() for x in kv]
     )
+    # single-char tokens map through their codepoint ONLY below 256 (the
+    # byte-alphabet boundary): merge outputs take ids 256+rank, so a
+    # preserved non-ASCII char (e.g. 'ā' = 257) would silently collide
+    # with a merge id. Out-of-range chars emit NULL instead of an
+    # ambiguous id (ADVICE r6); a full byte-level base would remap
+    # multi-byte chars upstream (documented boundary, see bpe_vocab).
     ids = F.transform(
         toks,
-        lambda t: F.when(F.length(t) == 1, F.ascii(t))
-        .otherwise(F.element_at(id_map, t))
+        lambda t: F.when((F.length(t) == 1) & (F.ascii(t) < 256), F.ascii(t))
+        .when(F.length(t) > 1, F.element_at(id_map, t))
         .cast("int"),
     )
     return docs.select(

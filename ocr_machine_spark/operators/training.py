@@ -30,8 +30,9 @@ over a DataFrame with the ``ivf_train`` execution pattern:
   parse-identical decimal literal; weight recovery divides exact integers
   (< 2^53) — all correctly-rounded IEEE ops on identical inputs.
 
-Splits are hash-assigned (md5 of the id — the engine's seeded 70/15/15
-convention, ``model_training_pipeline.py:87-134`` analogue) so train/val
+Splits are hash-assigned (md5 of the id) in 10/2/4 sixteenths —
+62.5/12.5/25 train/val/test, see ``md5_split`` and its DuckDB CASE twin
+(the ``model_training_pipeline.py:87-134`` analogue) — so train/val
 membership is reproducible across engines, runs and partitionings.
 
 Scale shape: at 10^12 rows the cost is epochs × (scan + O(dim·partitions)

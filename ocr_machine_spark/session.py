@@ -35,6 +35,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner use shuffled-hash joins when the per-partition
+        # build side fits (guide §3.1/§9): the self-equi-joins that dominate
+        # the dedup tiers emit 10^2 rows per matching key, and SMJ pays two
+        # sorts plus a buffered merge for what a hash probe does in one pass
+        # (jaccard pair counting measured 17.5s SMJ → 10.7s SHJ at sf1.0).
+        # Sort-merge remains the fallback whenever the build side is large.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch sizing: ~2k rows × ~2KB html ≈ 4MB per batch — big
         # enough to amortize per-batch IPC overhead (measured +17% extraction
