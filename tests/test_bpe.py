@@ -115,6 +115,33 @@ def test_pack_plan_over_bpe_counts(spark):
     assert any(default_rows[r["doc_id"]] != r["n_tokens"] for r in rows)
 
 
+def test_pack_plan_occupies_span_predicate_is_equivalent(spark):
+    """r7: the cheap pushable zero-span predicate (norm_text != '') must
+    select and bin exactly the rows the counter>0 filter does — including
+    with injected empty/whitespace/NULL documents."""
+    from pyspark.sql import functions as F
+
+    from ocr_machine_spark.functions import norm_text
+    from ocr_machine_spark.operators.textstats import pack_plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    extra = spark.createDataFrame(
+        [(900001, "", "s0"), (900002, "   ", "s1"), (900003, None, "s2")],
+        "doc_id long, text string, source string",
+    )
+    docs = docs.select("doc_id", "text", "source").unionByName(extra)
+    cnt = bpe_token_count(F.col("text"))
+    base = pack_plan(docs, budget=64, counter=cnt).orderBy("doc_id").collect()
+    fast = pack_plan(
+        docs,
+        budget=64,
+        counter=bpe_token_count(F.col("text")),
+        occupies_span=norm_text(F.coalesce(F.col("text"), F.lit(""))) != "",
+    ).orderBy("doc_id").collect()
+    assert base == fast
+    assert all(r["doc_id"] < 900000 for r in base)  # injected blanks excluded
+
+
 def test_distributed_trainer_matches_local(spark):
     """train_bpe_merges_spark ≡ the local trainer on the fixture corpus
     (untruncated vocab), and reproduces the committed table — the scale

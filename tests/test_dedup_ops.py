@@ -220,3 +220,47 @@ def test_modal_seed_len_tie_prefers_longer(spark):
     )
     stats = ivf_train(emb, k=2, iters=1).collect()  # seed ids {0 truncated, 1 intact}
     assert sum({r["cell"]: r["n"] for r in stats}.values()) == 7  # all 8-dim rows
+
+
+def test_simhash_near_pairs_matches_bruteforce(spark):
+    """r7: pairing moved to signature space (distinct sigs through the
+    grid-salted chunk join + membership expansion) — pin the output against
+    a brute-force O(n²) Hamming scan on a set that exercises every branch:
+    identical-signature clusters (within pairs), near-signature clusters
+    (cross expansion), multi-chunk agreement (first-match dedup), and
+    far-apart signatures (no pair)."""
+    from ocr_machine_spark.operators.dedup import simhash_near_pairs
+
+    sigs = []
+    base = 0x123456789ABCDEF0
+    for i in range(6):          # identical-sig cluster of 6
+        sigs.append((i, base))
+    for i in range(6, 10):      # hamming 1..2 neighbours (agree on 3 chunks)
+        sigs.append((i, base ^ (1 << (i - 6))))
+    sigs.append((10, base ^ 0b11 ^ (1 << 16)))   # hamming 3, two chunks differ
+    sigs.append((11, base ^ 0b1111))             # hamming 4 — excluded
+    for i in range(12, 20):     # far-apart noise
+        sigs.append((i, (i * 0x9E3779B97F4A7C15) & 0x7FFFFFFFFFFFFFFF))
+    sig_df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+
+    def ham(x, y):
+        return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    def shares_chunk(x, y):
+        return any(((x >> (16 * c)) & 0xFFFF) == ((y >> (16 * c)) & 0xFFFF) for c in range(4))
+
+    expect = {
+        (a, b): ham(sa, sb)
+        for (a, sa) in sigs
+        for (b, sb) in sigs
+        if a < b and shares_chunk(sa, sb) and ham(sa, sb) <= 3
+    }
+    got = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_pairs(sig_df).collect()}
+    assert got == expect
+    # exactly-once: no duplicate (a, b) rows survived the first-match dedup
+    rows = simhash_near_pairs(sig_df).collect()
+    assert len(rows) == len(got)
+    # partitioning invariance of the salted join
+    got2 = {(r["a"], r["b"]): r["hamming"]
+            for r in simhash_near_pairs(sig_df.repartition(7)).collect()}
+    assert got2 == expect
