@@ -169,8 +169,13 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(F.col(key), F.col("bb.band"), F.col("bb.bucket"))
-    x = banded.select(F.col(key).alias("a"), "band", "bucket")
-    y = banded.select(F.col(key).alias("b"), "band", "bucket")
+    # explicit repartition on the bucket key (r7): the banded rows are a few
+    # MB, so AQE's byte-based coalescing packs this O(bucket²)-compute join
+    # into a handful of tasks; defaultParallelism-sized hash partitioning is
+    # cluster-adaptive and pins the parallelism the compute needs
+    dp = sig.sparkSession.sparkContext.defaultParallelism
+    x = banded.select(F.col(key).alias("a"), "band", "bucket").repartition(dp, "band", "bucket")
+    y = banded.select(F.col(key).alias("b"), "band", "bucket").repartition(dp, "band", "bucket")
     return (
         x.join(y, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))

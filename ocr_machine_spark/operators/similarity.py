@@ -146,9 +146,18 @@ def embedding_dup_pairs(
     bb = srp_band_buckets(
         emb, dim=dim, bands=bands, planes_per_band=planes_per_band, key=key, vec=vec
     ).cache()  # tiny (n·bands rows); both sides of the self-join reuse it
+    # explicit bucket-key repartition (r7): the banded rows are a few MB, so
+    # AQE's byte-based coalescing under-parallelizes this O(bucket²) join;
+    # defaultParallelism-sized partitioning is cluster-adaptive
+    dp = emb.sparkSession.sparkContext.defaultParallelism
     cand = (
         bb.select(F.col("vec_id").alias("a"), "band", "bucket")
-        .join(bb.select(F.col("vec_id").alias("b"), "band", "bucket"), ["band", "bucket"])
+        .repartition(dp, "band", "bucket")
+        .join(
+            bb.select(F.col("vec_id").alias("b"), "band", "bucket")
+            .repartition(dp, "band", "bucket"),
+            ["band", "bucket"],
+        )
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
