@@ -23,9 +23,10 @@ AUDITED = [
     ("broadcast_brand_agg", "BroadcastHashJoin asserted in CI"),
     ("window_top_orders", "single sort-based window per o_custkey, rank pushed as filter"),
     ("asof_purchase_before_click", "union + running-max window — NO join node (round-2 fix)"),
-    ("minhash_lsh_pairs", "band-bucket equi-join; candidate-only verify join; no cross join"),
-    ("embedding_dup_pairs", "banded SRP bucket equi-join + Arrow verify; no cross join (round-2 fix)"),
-    ("simhash_near_pairs", "pure JVM signatures (map-side partial bit-votes); chunk-bucket equi-join"),
+    ("minhash_lsh_pairs", "band-bucket equi-join (explicit bucket-key repartition pins parallelism AQE would coalesce away); candidate-only verify join on hashed shingle keys; no cross join"),
+    ("jaccard_pairs_3gram", "exact verify tier (max_docs-guarded): hashed-shingle self-join, pair instances repartitioned by (a,b) BEFORE counting (both aggregate steps post-exchange, no spilling map-side tables), broadcast size joins"),
+    ("embedding_dup_pairs", "banded SRP bucket equi-join (bucket-key repartition, r7) + Arrow verify; no cross join (round-2 fix)"),
+    ("simhash_near_pairs", "pure JVM signatures (map-side partial bit-votes); r7: chunk-bucket equi-join over DISTINCT signatures (grid-salted, first-match dedup) + membership expansion — identical pairs, candidate volume no longer quadratic in cluster size"),
     ("ann_ivf_topk", "Arrow-batch numpy cell assignment (per-row compute); probed-cell equi-join"),
     ("ann_cosine_topk", "broadcast tiny query side; codegen'd unrolled dots; norms once per row"),
     ("ivf_train_centroids", "per-batch numpy pre-reduce -> one tiny (cell,pos) aggregation; no explode of the table"),
@@ -39,7 +40,7 @@ AUDITED = [
     ("doc_line_dedup", "explode lines -> partial-agg min keeper per hash (map-side combine kills boilerplate keys) -> hash equi-join -> per-doc reassembly; no window on the hot key"),
     ("doc_source_quota_sample", "WindowGroupLimit BELOW the exchange: partial per-partition top-cap before the shuffle"),
     ("doc_domain_stats", "host-keyed agg; count_distinct expands to a (host,fp) partial agg so mega-host rows combine map-side; spam verdict is a post-agg projection, no second pass"),
-    ("doc_pack_plan", "one shuffle on the shard key; per-shard running-sum window (sort-based, bounded by shard size); bin ids are post-window integer arithmetic"),
+    ("doc_pack_plan", "one shuffle on the shard key; per-shard running-sum window (sort-based, bounded by shard size); bin ids are post-window integer arithmetic; r7: zero-span exclusion is a cheap pushable text predicate so the BPE counter never re-evaluates as a Filter"),
     ("host_pagerank", "edge list + degrees localCheckpoint'd once; per iteration ONE shuffle join on src + ONE dst-keyed agg; teleport term is a literal (single driver scalar N)"),
     ("extraction_outlinks", "one mapInArrow link stage over the slim (url, html) projection; zero shuffles after the fixture generator's distribution"),
     ("warc_ingest", "binaryFile scan -> ONE streaming mapInArrow parse stage (gzip members inflated one at a time) -> JVM projection (md5/length); zero shuffles — ingest is a pure map"),
@@ -54,7 +55,7 @@ AUDITED = [
     ("model_train_eval", "per-epoch Arrow gradient pass pre-reduced to <=dim+4 rows per batch (map-side numpy int64 combine) -> tiny (kind,pos) agg localCheckpoint'd; plan shown is the final metrics assembly: unions of 1-row epoch folds + a 1-row min-struct broadcast for the best-checkpoint flag"),
     ("doc_span_dedup", "md5(gram)-keyed partial agg (map-side combine collapses hot boilerplate grams BEFORE the shuffle) -> witness join-back -> position explode + distinct -> left join + per-doc ordered reassembly; three shuffles, no window on the hot key"),
     ("doc_bpe_tokens", "the ENTIRE tokenizer is a codegen'd chain of literal replace() string expressions over one projection — zero Python, zero shuffles, zero joins"),
-    ("warc_fetch_by_url", "request urls BROADCAST-semi-join the CDX index (only matching index rows survive); the fetch stage is a pure mapInArrow range-read per record — no shuffle anywhere"),
+    ("warc_fetch_by_url", "request urls BROADCAST-semi-join the CDX index (r7: explicit broadcast of the bounded list-typed request set — the index side is never exchanged); the fetch stage is a pure mapInArrow range-read per record — no shuffle anywhere"),
     ("corpus_curation_stats", "extract -> gates -> dedup semi-join -> split agg in ONE plan"),
     ("extraction_e2e", "one mapInArrow extract stage; the Exchange below it is the FIXTURE GENERATOR's salted distribution (the oracle corpus is generated, not scanned) — the production scan path has no pre-shuffle (bench.py extract_pages; ReadSchema pruning CI-gated)"),
 ]
