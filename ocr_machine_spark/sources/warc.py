@@ -519,6 +519,14 @@ def fetch_by_url(spark, cdx, warc_dir: str, urls=None):
     )
 
 
+# Fixture-format version for warc_fixture's golden cache path. Kept at the
+# round-6 value VERBATIM: the path is embedded in oracle_sql() text, which is
+# fingerprinted across rounds — and the generator's output is unchanged, so
+# the cached goldens under this tag remain exactly what the generator
+# produces. Bump only when the fixture bytes / golden rows change.
+WARC_FIXTURE_TAG = "870d1b372f"
+
+
 def warc_fixture(
     n: int, seed: int = 42, base_dir: str = "/tmp/ocr_machine_spark_goldens"
 ) -> tuple[str, str]:
@@ -529,11 +537,16 @@ def warc_fixture(
     ts_epoch, status, mime, html_md5, n_bytes, and the CDX triple
     file/offset/length tracked by write-side cursors, never by re-parsing).
     Status/mime vary by construction so the HTTP-head parse is actually
-    exercised. Cache tag =
-    hash of this module's source (media_golden discipline: any codec edit
-    invalidates the cache). Returns (warc_dir, golden_path)."""
+    exercised. Cache tag = WARC_FIXTURE_TAG, a pinned fixture-FORMAT
+    version (r7): the tag used to be a hash of this whole module's source,
+    but the golden path rides inside oracle_sql() — whose text is
+    fingerprinted across rounds — so an edit to a pure CONSUMER
+    (fetch_by_url) must not move the goldens of an unchanged generator.
+    Bump the constant if and only if the fixture bytes/golden rows this
+    function produces change (the parser-vs-golden pytest gates catch a
+    missed bump: stale goldens no longer match the parser under test).
+    Returns (warc_dir, golden_path)."""
     import hashlib
-    import inspect
     import os
     from datetime import timezone
 
@@ -541,10 +554,8 @@ def warc_fixture(
     import pyarrow.parquet as pq
 
     from ocr_machine_spark.fixtures import make_page
-    from ocr_machine_spark.sources import warc as _self
 
-    tag = hashlib.md5(inspect.getsource(_self).encode()).hexdigest()[:10]
-    root = os.path.join(base_dir, f"warc_fixture_{tag}_n{n}_s{seed}")
+    root = os.path.join(base_dir, f"warc_fixture_{WARC_FIXTURE_TAG}_n{n}_s{seed}")
     warc_dir = os.path.join(root, "warcs")
     golden = os.path.join(root, "golden.parquet")
     if os.path.exists(golden):
