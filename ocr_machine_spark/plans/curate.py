@@ -77,6 +77,7 @@ def curate_documents(
     near_threshold: float = 0.8,
     bench: DataFrame | None = None,
     decon_k: int = 8,
+    rewrites_applied: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (curated docs frame, per-doc decision frame).
 
@@ -118,13 +119,27 @@ def curate_documents(
     (operators.textstats.benchmark_contamination), so the pass adds zero
     shuffle of corpus text.
     """
-    if dedup_lines:
-        docs = _rewrite_deduped_lines(docs)
-    if dedup_spans:
-        # after line dedup by design: lines kill whole-line boilerplate
-        # cheaply, spans then excise the remaining long duplicated RUNS
-        # (Lee et al. order: substring dedup over the cleaned corpus)
-        docs = _rewrite_deduped_spans(docs)
+    if not rewrites_applied:
+        # materialize after EACH rewrite stage (r7, guide §5): the decision
+        # plan references ``docs`` from many branches (gopher gate,
+        # fingerprints, near-dup candidate build, survivor join, audit
+        # joins), and span_dedup itself references its input three times
+        # (word explode + gram explode feeding both the witness agg and the
+        # join-back) — without barriers the upstream rewrite chain
+        # re-executes per reference (measured: the line and gram explode
+        # stages each ran 3× per curation). Real pipelines write these
+        # intermediates (the cleaned corpus IS a dataset); in-job the
+        # executor-local checkpoint is the moral equivalent.
+        # ``run_curation`` pre-applies the rewrites itself
+        # (rewrites_applied=True) so its curated write shares the same
+        # materialization instead of re-deriving the chain.
+        if dedup_lines:
+            docs = _rewrite_deduped_lines(docs).localCheckpoint(eager=True)
+        if dedup_spans:
+            # after line dedup by design: lines kill whole-line boilerplate
+            # cheaply, spans then excise the remaining long duplicated RUNS
+            # (Lee et al. order: substring dedup over the cleaned corpus)
+            docs = _rewrite_deduped_spans(docs).localCheckpoint(eager=True)
     decision = gopher_filter(docs)
     if bench is not None:
         from ocr_machine_spark.operators.textstats import benchmark_contamination
@@ -207,24 +222,26 @@ def run_curation(
     Dataflow: only the DECISION frame is computed from the live plan; the
     curated table and the stats both derive from the decisions parquet read
     back after the write, so the three outputs can never disagree."""
+    # apply the text rewrites HERE, once, and share the materialized cleaned
+    # corpus between the decision plan and the curated write (r7): the old
+    # flow re-applied the pure rewrite chain for the curated table, paying
+    # the explode/groupBy/join passes a second time (see curate_documents)
+    if dedup_lines:
+        docs = _rewrite_deduped_lines(docs).localCheckpoint(eager=True)
+    if dedup_spans:
+        docs = _rewrite_deduped_spans(docs).localCheckpoint(eager=True)
     _, decision = curate_documents(
         docs,
         dedup_lines=dedup_lines,
         dedup_spans=dedup_spans,
         dedup_near=dedup_near,
         bench=bench,
+        rewrites_applied=True,
     )
     decision.write.mode("overwrite").parquet(f"{out_dir}/decisions")
     # read the audit table back and derive BOTH outputs from it — one
     # computation of the (nondeterminism-free) plan, stats match the files
     dec = spark.read.parquet(f"{out_dir}/decisions")
-    if dedup_lines:
-        # the curated table must carry the CLEANED text; the rewrites are
-        # pure functions of the input, so re-applying them here agrees with
-        # the decisions computed from them above
-        docs = _rewrite_deduped_lines(docs)
-    if dedup_spans:
-        docs = _rewrite_deduped_spans(docs)
     docs.join(dec.filter(F.col("survivor")).select("doc_id", "fp"), "doc_id").write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/curated")
